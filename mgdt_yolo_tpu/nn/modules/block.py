@@ -1,0 +1,562 @@
+"""CSP blocks, fork-specific MSPA / GD-neck modules, and DCN wrapper.
+
+TPU-native re-design of the reference block zoo (nn/modules/block.py,
+spr_module.py, convnextv2.py). All modules are flax.linen over NHWC tensors;
+resampling runs through the matmul-based ops in ops/common.py and the
+deformable conv through ops/deform.py (replacing mmcv's CUDA op).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.common import (adaptive_avg_pool2d, h_sigmoid, interpolate_bilinear,
+                           max_pool2d_same)
+from ...ops.deform import modulated_deform_conv2d
+from .conv import BN, Conv, DWConv, GhostConv, LightConv, get_act, torch_conv_init
+
+
+def dfl_decode(box: jnp.ndarray, reg_max: int) -> jnp.ndarray:
+    """Distribution Focal Loss integral decode.
+
+    Args:
+        box: (..., 4 * reg_max) side-major distance logits (side, bin) layout —
+            same channel order as reference DFL.forward (block.py:36-54).
+    Returns:
+        (..., 4) expected ltrb distances.
+    """
+    shape = box.shape[:-1]
+    probs = jax.nn.softmax(box.reshape(*shape, 4, reg_max).astype(jnp.float32), axis=-1)
+    proj = jnp.arange(reg_max, dtype=jnp.float32)
+    return probs @ proj
+
+
+class Bottleneck(nn.Module):
+    """Standard residual bottleneck (reference block.py:514-526)."""
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: Tuple[int, int] = (3, 3)
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = Conv(c_, self.k[0], 1, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(self.c2, self.k[1], 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        return x + y if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class C1(nn.Module):
+    """CSP bottleneck, 1 conv (block.py:155-165)."""
+    c2: int
+    n: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        z = y
+        for i in range(self.n):
+            z = Conv(self.c2, 3, dtype=self.dtype, name=f"m_{i}")(z, train)
+        return z + y
+
+
+class C2(nn.Module):
+    """CSP bottleneck, 2 convs (block.py:169-184)."""
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = jnp.split(y, 2, axis=-1)
+        for i in range(self.n):
+            a = Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0,
+                           dtype=self.dtype, name=f"m_{i}")(a, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate([a, b], axis=-1), train)
+
+
+class C2f(nn.Module):
+    """Fast CSP bottleneck with progressive splits (block.py:187-207)."""
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        for i in range(self.n):
+            ys.append(Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0,
+                                 dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(ys, axis=-1), train)
+
+
+class C3(nn.Module):
+    """CSP bottleneck, 3 convs (block.py:440-456)."""
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    k: Tuple[Tuple[int, int], Tuple[int, int]] = ((1, 1), (3, 3))
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(c_, self.shortcut, self.g,
+                           k=(self.k[0][0], self.k[1][0]), e=1.0,
+                           dtype=self.dtype, name=f"m_{i}")(a, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([a, b], axis=-1), train)
+
+
+class C3x(C3):
+    """C3 with cross 1x3/3x1 convolutions (block.py:459-466)."""
+    k: Tuple[Tuple[int, int], Tuple[int, int]] = ((1, 3), (3, 1))
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck (block.py:492-511)."""
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, dtype=self.dtype, name="ghost1")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, self.k, self.s, act=False, dtype=self.dtype, name="dw")(y, train)
+        y = GhostConv(self.c2, 1, 1, act=False, dtype=self.dtype, name="ghost2")(y, train)
+        if self.s == 2:
+            sc = DWConv(x.shape[-1], self.k, self.s, act=False, dtype=self.dtype,
+                        name="sc_dw")(x, train)
+            sc = Conv(self.c2, 1, 1, act=False, dtype=self.dtype, name="sc_pw")(sc, train)
+        else:
+            sc = x if x.shape[-1] == self.c2 else 0.0
+        return y + sc
+
+
+class C3Ghost(nn.Module):
+    """C3 with GhostBottleneck inner blocks (block.py:469-476)."""
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = GhostBottleneck(c_, dtype=self.dtype, name=f"m_{i}")(a, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([a, b], axis=-1), train)
+
+
+class RepC3(nn.Module):
+    """RepConv-based C3 used by RT-DETR necks (block.py:479-489)."""
+    c2: int
+    n: int = 3
+    e: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .conv import RepConv
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = RepConv(c_, dtype=self.dtype, name=f"m_{i}")(a, train)
+        if c_ != self.c2:
+            a = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv3")(a + b, train)
+            return a
+        return a + b
+
+
+class BottleneckCSP(nn.Module):
+    """Original CSP bottleneck (block.py:530-548)."""
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0,
+                            dtype=self.dtype, name=f"m_{i}")(y1, train)
+        y1 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, kernel_init=torch_conv_init,
+                     name="cv3")(y1)
+        y2 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, kernel_init=torch_conv_init,
+                     name="cv2")(x)
+        y = BN(dtype=self.dtype, name="norm")(jnp.concatenate([y1, y2], -1), train)
+        y = get_act(True)(y)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4")(y, train)
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling (block.py:120-135)."""
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        y = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        pools = [max_pool2d_same(y, k) for k in self.k]
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate([y] + pools, axis=-1), train)
+
+
+class SPPF(nn.Module):
+    """Fast SPP: three chained k-pools (block.py:137-152)."""
+    c2: int
+    k: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        y = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = max_pool2d_same(y, self.k)
+        y2 = max_pool2d_same(y1, self.k)
+        y3 = max_pool2d_same(y2, self.k)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate([y, y1, y2, y3], axis=-1), train)
+
+
+class HGStem(nn.Module):
+    """PPHGNetV2 stem (block.py:74-99)."""
+    cm: int
+    c2: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.cm, 3, 2, act="relu", dtype=self.dtype, name="stem1")(x, train)
+        y = jnp.pad(y, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        y2 = Conv(self.cm // 2, 2, 1, p=0, act="relu", dtype=self.dtype, name="stem2a")(y, train)
+        y2 = jnp.pad(y2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        y2 = Conv(self.cm, 2, 1, p=0, act="relu", dtype=self.dtype, name="stem2b")(y2, train)
+        y1 = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 1, 1, 1),
+                                   [(0, 0), (0, 1), (0, 1), (0, 0)])
+        y1 = y1[:, :y2.shape[1], :y2.shape[2]]
+        y = jnp.concatenate([y1, y2], axis=-1)
+        y = Conv(self.cm, 3, 2, act="relu", dtype=self.dtype, name="stem3")(y, train)
+        return Conv(self.c2, 1, 1, act="relu", dtype=self.dtype, name="stem4")(y, train)
+
+
+class HGBlock(nn.Module):
+    """PPHGNetV2 block (block.py:102-118)."""
+    cm: int
+    c2: int
+    k: int = 3
+    n: int = 6
+    lightconv: bool = False
+    shortcut: bool = False
+    act: Union[bool, str] = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block = LightConv if self.lightconv else Conv
+        ys = [x]
+        for i in range(self.n):
+            ys.append(block(self.cm, k=self.k, act=self.act, dtype=self.dtype,
+                            name=f"m_{i}")(ys[-1], train))
+        y = Conv(self.c2 // 2, 1, 1, act=self.act, dtype=self.dtype, name="sc")(
+            jnp.concatenate(ys, axis=-1), train)
+        y = Conv(self.c2, 1, 1, act=self.act, dtype=self.dtype, name="ec")(y, train)
+        return y + x if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class Proto(nn.Module):
+    """Segmentation mask prototypes (block.py:57-71)."""
+    c_: int = 256
+    c2: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.c_, 3, dtype=self.dtype, name="cv1")(x, train)
+        y = nn.ConvTranspose(self.c_, (2, 2), strides=(2, 2), use_bias=True,
+                             dtype=self.dtype, param_dtype=jnp.float32,
+                             name="upsample")(y)
+        y = Conv(self.c_, 3, dtype=self.dtype, name="cv2")(y, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(y, train)
+
+
+# ---------------------------------------------------------------------------
+# Fork modules: MSPA attention C2f + SPR channel attention
+# ---------------------------------------------------------------------------
+
+class SPRModule(nn.Module):
+    """Dual-pool squeeze attention (reference nn/modules/spr_module.py:8-31).
+
+    Concats global-avg (C) and 2x2-avg (4C) descriptors — flattened
+    channel-major to match the torch .view ordering — then 1x1 reduce/expand
+    with sigmoid gate.
+    """
+    channels: int
+    reduction: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = x.shape[0]
+        c = self.channels
+        p1 = jnp.mean(x, axis=(1, 2))  # (b, c)
+        p2 = adaptive_avg_pool2d(x, 2)  # (b, 2, 2, c)
+        p2 = jnp.transpose(p2, (0, 3, 1, 2)).reshape(b, 4 * c)  # channel-major flatten
+        y = jnp.concatenate([p1, p2], axis=-1)[:, None, None, :]  # (b,1,1,5c)
+        y = nn.Conv(c // self.reduction, (1, 1), use_bias=True, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="fc1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(c, (1, 1), use_bias=True, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="fc2")(y)
+        return nn.sigmoid(y)  # (b, 1, 1, c)
+
+
+class MSPA_C2f(nn.Module):
+    """Multi-Scale Pyramid Attention C2f (reference block.py:209-287).
+
+    Channel groups 0..scale-2 get 1x1 convs with progressive summation; the
+    last group runs `n` bottlenecks appending every intermediate; a final 1x1
+    fuses, then shared SPR attention produces per-group weights softmaxed
+    across groups to reweight the fused features.
+    """
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    scale: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nums = self.scale
+        inw = self.c1 // nums
+        outw = self.c2 // nums
+        spx = jnp.split(x, nums, axis=-1)
+
+        outs = []
+        sp = None
+        tail = []
+        for i in range(nums):
+            sp = spx[i] if i == 0 else sp + spx[i]
+            if i != nums - 1:
+                sp = Conv(inw, 1, 1, dtype=self.dtype, name=f"convs_{i}")(sp, train)
+                outs.append(sp)
+            else:
+                for j in range(self.n):
+                    sp = Bottleneck(inw, self.shortcut, self.g, k=(3, 3), e=1.0,
+                                    dtype=self.dtype, name=f"bottleneck_{j}")(sp, train)
+                    tail.append(sp)
+        fused = jnp.concatenate(outs + tail, axis=-1)
+        fused = Conv(self.c2, 1, 1, dtype=self.dtype, name=f"convs_{nums - 1}")(fused, train)
+
+        b, h, w, _ = fused.shape
+        groups = jnp.split(fused, nums, axis=-1)  # each (b,h,w,outw)
+        attn = SPRModule(outw, dtype=self.dtype, name="attention")
+        weights = jnp.stack([attn(g_, train) for g_ in groups], axis=3)  # (b,1,1,nums,outw)
+        weights = jax.nn.softmax(weights.astype(jnp.float32), axis=3).astype(fused.dtype)
+        feats = jnp.stack(groups, axis=3)  # (b,h,w,nums,outw)
+        out = feats * weights
+        return out.reshape(b, h, w, nums * outw)
+
+
+# ---------------------------------------------------------------------------
+# ConvNeXtV2 block (used inside IFM)
+# ---------------------------------------------------------------------------
+
+class GRN(nn.Module):
+    """Global response normalization (reference nn/modules/utils.py:171-183)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.zeros, (1, 1, 1, self.dim))
+        beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, self.dim))
+        xf = x.astype(jnp.float32)
+        gx = jnp.sqrt(jnp.sum(xf ** 2, axis=(1, 2), keepdims=True))  # L2 over space
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        return (gamma * (xf * nx) + beta + xf).astype(x.dtype)
+
+
+class ConvNeXtV2_Block(nn.Module):
+    """ConvNeXtV2 residual block (reference nn/modules/convnextv2.py:16-45).
+
+    NHWC-native: the reference permutes NCHW<->NHWC around LN/Linear; here the
+    whole model is already channels-last so the block is permutation-free.
+    """
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(self.dim, (7, 7), padding=[(3, 3), (3, 3)],
+                    feature_group_count=self.dim, use_bias=True, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="dwconv")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="norm")(y)
+        y = nn.Dense(4 * self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="pwconv1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = GRN(4 * self.dim, name="grn")(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="pwconv2")(y)
+        return x + y
+
+
+# ---------------------------------------------------------------------------
+# GD (Gather-and-Distribute) neck ops, low-stage branch of GOLD-YOLO
+# ---------------------------------------------------------------------------
+
+class SimFusion_4in(nn.Module):
+    """FAM: align 4 pyramid levels to the 3rd level's size and concat
+    (reference block.py:289-307). Inputs ordered [P2, P3, P4, P5]."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        x_l, x_m, x_s, x_n = xs
+        h, w = x_s.shape[1:3]
+        x_l = adaptive_avg_pool2d(x_l, (h, w))
+        x_m = adaptive_avg_pool2d(x_m, (h, w))
+        x_n = interpolate_bilinear(x_n, (h, w))
+        return jnp.concatenate([x_l, x_m, x_s, x_n], axis=-1)
+
+
+class SimFusion_3in(nn.Module):
+    """LAF: align 3 levels to the middle level's size, per-level 1x1 embed,
+    concat + fuse (reference block.py:309-329)."""
+    in_channels: Tuple[int, int, int]
+    c2: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        h, w = xs[1].shape[1:3]
+        x0 = adaptive_avg_pool2d(xs[0], (h, w))
+        if self.in_channels[0] != self.c2:
+            x0 = Conv(self.c2, act="relu", dtype=self.dtype, name="cv1")(x0, train)
+        x1 = xs[1]
+        if self.in_channels[1] != self.c2:
+            x1 = Conv(self.c2, act="relu", dtype=self.dtype, name="cv2")(x1, train)
+        x2 = interpolate_bilinear(xs[2], (h, w))
+        if self.in_channels[2] != self.c2:
+            x2 = Conv(self.c2, act="relu", dtype=self.dtype, name="cv3")(x2, train)
+        return Conv(self.c2, act="relu", dtype=self.dtype, name="cv_fuse")(
+            jnp.concatenate([x0, x1, x2], axis=-1), train)
+
+
+class IFM(nn.Module):
+    """Information fusion: Conv -> 3x ConvNeXtV2 -> Conv to sum(ouc) channels
+    (reference block.py:331-342)."""
+    ouc: Tuple[int, ...]
+    embed_dim_p: int = 96
+    fuse_block_num: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.embed_dim_p, dtype=self.dtype, name="conv_in")(x, train)
+        for i in range(self.fuse_block_num):
+            y = ConvNeXtV2_Block(self.embed_dim_p, dtype=self.dtype,
+                                 name=f"block_{i}")(y, train)
+        return Conv(sum(self.ouc), dtype=self.dtype, name="conv_out")(y, train)
+
+
+class InjectionMultiSum_Auto_pool(nn.Module):
+    """Inject IFM global context into a local feature map
+    (reference block.py:351-399): local·h_sigmoid(global_act) + global_embed,
+    size-matched by pool or bilinear upsample.
+
+    Quirk preserved: the pool branch skips the h_sigmoid on the gate, exactly
+    like the reference (block.py:382-386); the GD yamls only exercise the
+    upsample branch.
+    """
+    oup: int
+    global_inp: Tuple[int, ...]
+    flag: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        x_l, x_g = xs
+        h, w = x_l.shape[1:3]
+        g_h = x_g.shape[1]
+        bounds = [sum(self.global_inp[:i + 1]) for i in range(len(self.global_inp) - 1)]
+        g = jnp.split(x_g, bounds, axis=-1)[self.flag] if bounds else x_g
+
+        local_feat = Conv(self.oup, 1, act=False, dtype=self.dtype,
+                          name="local_embedding")(x_l, train)
+        global_act = Conv(self.oup, 1, act=False, dtype=self.dtype,
+                          name="global_act")(g, train)
+        global_feat = Conv(self.oup, 1, act=False, dtype=self.dtype,
+                           name="global_embedding")(g, train)
+
+        if h < g_h:  # pool branch (gate un-activated — reference quirk)
+            sig_act = adaptive_avg_pool2d(global_act, (h, w))
+            global_feat = adaptive_avg_pool2d(global_feat, (h, w))
+        else:
+            sig_act = interpolate_bilinear(h_sigmoid(global_act), (h, w))
+            global_feat = interpolate_bilinear(global_feat, (h, w))
+        return local_feat * sig_act + global_feat
+
+
+class DyDCNv2(nn.Module):
+    """Modulated deformable conv + GroupNorm(16), offsets/mask from caller
+    (reference block.py:401-432; mmcv CUDA op replaced by ops/deform.py)."""
+    c2: int
+    stride: int = 1
+    with_norm: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, offset, mask, train: bool = False):
+        w = self.param("weight", torch_conv_init, (3, 3, x.shape[-1], self.c2))
+        bias = None if self.with_norm else self.param(
+            "bias", nn.initializers.zeros, (self.c2,))
+        y = modulated_deform_conv2d(x, offset, mask, w.astype(self.dtype), bias,
+                                    stride=self.stride, padding=1)
+        if self.with_norm:
+            y = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32, name="gn")(y)
+        return y

@@ -1,0 +1,108 @@
+"""Batched class-offset NMS, XLA-native with fixed shapes.
+
+Replaces the reference's `torchvision.ops.nms` C++/CUDA call
+(yolo/utils/ops.py:136-266). Greedy selection is expressed as a
+`lax.fori_loop` over `max_det` steps: each step argmaxes the surviving
+scores, emits one detection, and suppresses overlapping candidates of the
+same class in O(K) vector work — no K×K IoU matrix, no dynamic shapes, fully
+on-device and vmappable over the batch.
+
+Output is a fixed-size (max_det, 6) tensor [x1, y1, x2, y2, conf, cls] with
+invalid rows zeroed, plus a valid-detection count — the padded-output
+convention every downstream consumer (metrics, Results, tracker) uses.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import xywh2xyxy
+
+MAX_WH = 7680.0  # class-offset magnitude, same constant as the reference
+
+
+@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk",
+                                   "multi_label", "agnostic"))
+def nms_single(boxes: jnp.ndarray, scores: jnp.ndarray, conf_thres: float = 0.25,
+               iou_thres: float = 0.45, max_det: int = 300, pre_topk: int = 4096,
+               multi_label: bool = False, agnostic: bool = False):
+    """NMS for one image.
+
+    Args:
+        boxes: (A, 4) xyxy in model-input pixels.
+        scores: (A, nc) per-class confidences (post-sigmoid).
+    Returns:
+        det: (max_det, 6) [x1, y1, x2, y2, conf, cls], zero-padded.
+        n: () int32 number of valid detections.
+    """
+    A, nc = scores.shape
+    if multi_label and nc > 1:
+        flat = scores.reshape(-1)  # (A*nc,) candidate per (anchor, class) pair
+        k = min(pre_topk, A * nc)
+        conf, idx = jax.lax.top_k(jnp.where(flat > conf_thres, flat, -1.0), k)
+        anchor_idx = idx // nc
+        cls = (idx % nc).astype(jnp.float32)
+    else:
+        conf_all = scores.max(axis=-1)
+        cls_all = scores.argmax(axis=-1).astype(jnp.float32)
+        k = min(pre_topk, A)
+        conf, anchor_idx = jax.lax.top_k(jnp.where(conf_all > conf_thres, conf_all, -1.0), k)
+        cls = cls_all[anchor_idx]
+    cand_boxes = boxes[anchor_idx]  # (K, 4)
+    valid = conf > 0.0
+
+    # class offset so cross-class overlaps never suppress each other
+    offset = jnp.zeros_like(cls) if agnostic else cls * MAX_WH
+    off_boxes = cand_boxes + offset[:, None]
+
+    x1, y1, x2, y2 = off_boxes[:, 0], off_boxes[:, 1], off_boxes[:, 2], off_boxes[:, 3]
+    areas = (x2 - x1) * (y2 - y1)
+
+    def iou_vs_all(i):
+        xx1 = jnp.maximum(x1[i], x1)
+        yy1 = jnp.maximum(y1[i], y1)
+        xx2 = jnp.minimum(x2[i], x2)
+        yy2 = jnp.minimum(y2[i], y2)
+        inter = jnp.clip(xx2 - xx1, 0) * jnp.clip(yy2 - yy1, 0)
+        return inter / (areas[i] + areas - inter + 1e-7)
+
+    def body(step, carry):
+        live_conf, out, n = carry
+        i = jnp.argmax(live_conf)  # next-highest surviving candidate
+        ok = live_conf[i] > 0.0
+        det = jnp.concatenate([cand_boxes[i], conf[i][None], cls[i][None]])
+        out = jax.lax.cond(ok, lambda o: o.at[step].set(det), lambda o: o, out)
+        n = n + ok.astype(jnp.int32)
+        # suppress the pick itself and everything overlapping it
+        kill = (iou_vs_all(i) > iou_thres) | (jnp.arange(live_conf.shape[0]) == i)
+        live_conf = jnp.where(ok & kill, -1.0, live_conf)
+        return live_conf, out, n
+
+    live0 = jnp.where(valid, conf, -1.0)
+    out0 = jnp.zeros((max_det, 6), dtype=boxes.dtype)
+    _, out, n = jax.lax.fori_loop(0, max_det, body, (live0, out0, jnp.int32(0)))
+    return out, n
+
+
+def non_max_suppression(prediction: jnp.ndarray, conf_thres: float = 0.25,
+                        iou_thres: float = 0.45, agnostic: bool = False,
+                        multi_label: bool = False, max_det: int = 300,
+                        pre_topk: int = 4096, nc: int | None = None):
+    """Batched NMS over raw head output.
+
+    Args:
+        prediction: (B, 4 + nc, A) — xywh boxes then class scores, the eval-path
+            head layout (reference head.py:165-177).
+    Returns:
+        det: (B, max_det, 6), counts: (B,) int32.
+    """
+    pred = jnp.transpose(prediction, (0, 2, 1))  # (B, A, 4+nc)
+    nc = nc or (pred.shape[-1] - 4)
+    boxes = xywh2xyxy(pred[..., :4])
+    scores = pred[..., 4:4 + nc]
+    fn = partial(nms_single, conf_thres=conf_thres, iou_thres=iou_thres,
+                 max_det=max_det, pre_topk=pre_topk, multi_label=multi_label,
+                 agnostic=agnostic)
+    return jax.vmap(fn)(boxes, scores)

@@ -1,0 +1,205 @@
+"""Parity tests for the ops layer against torch CPU references."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from mgdt_yolo_tpu import ops
+
+
+def _nhwc(t):  # torch NCHW tensor -> numpy NHWC
+    return t.permute(0, 2, 3, 1).numpy()
+
+
+class TestResampling:
+    @pytest.mark.parametrize("in_hw,out_hw", [((8, 8), (4, 4)), ((20, 20), (5, 5)),
+                                              ((7, 9), (3, 4)), ((6, 6), (2, 2)),
+                                              ((5, 5), (2, 2)), ((4, 4), (1, 1))])
+    def test_adaptive_avg_pool(self, rng, in_hw, out_hw):
+        x = rng.standard_normal((2, 3, *in_hw)).astype(np.float32)
+        want = _nhwc(F.adaptive_avg_pool2d(torch.from_numpy(x), out_hw))
+        got = ops.adaptive_avg_pool2d(jnp.asarray(x.transpose(0, 2, 3, 1)), out_hw)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    @pytest.mark.parametrize("in_hw,out_hw", [((4, 4), (8, 8)), ((5, 7), (13, 11)),
+                                              ((10, 10), (40, 40)), ((8, 8), (3, 3))])
+    def test_bilinear(self, rng, in_hw, out_hw):
+        x = rng.standard_normal((2, 3, *in_hw)).astype(np.float32)
+        want = _nhwc(F.interpolate(torch.from_numpy(x), size=out_hw, mode="bilinear",
+                                   align_corners=False))
+        got = ops.interpolate_bilinear(jnp.asarray(x.transpose(0, 2, 3, 1)), out_hw)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_nearest_2x(self, rng):
+        x = rng.standard_normal((1, 2, 4, 4)).astype(np.float32)
+        want = _nhwc(F.interpolate(torch.from_numpy(x), scale_factor=2, mode="nearest"))
+        got = ops.upsample_nearest(jnp.asarray(x.transpose(0, 2, 3, 1)), 2)
+        np.testing.assert_allclose(np.asarray(got), want)
+
+    @pytest.mark.parametrize("k", [3, 5, 9, 13])
+    def test_max_pool_same(self, rng, k):
+        x = rng.standard_normal((1, 3, 16, 16)).astype(np.float32)
+        want = _nhwc(F.max_pool2d(torch.from_numpy(x), k, stride=1, padding=k // 2))
+        got = ops.max_pool2d_same(jnp.asarray(x.transpose(0, 2, 3, 1)), k)
+        np.testing.assert_allclose(np.asarray(got), want)
+
+
+class TestBoxes:
+    def _boxes(self, rng, n):
+        xy = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+        wh = rng.uniform(1, 50, (n, 2)).astype(np.float32)
+        return np.concatenate([xy, xy + wh], -1)
+
+    def test_xywh_roundtrip(self, rng):
+        b = self._boxes(rng, 32)  # xyxy
+        back = ops.xywh2xyxy(ops.xyxy2xywh(jnp.asarray(b)))
+        np.testing.assert_allclose(np.asarray(back), b, atol=1e-4)
+
+    def test_ciou_matches_reference_formula(self, rng):
+        """CIoU against an independent torch implementation of metrics.py:75-129."""
+        b1 = torch.from_numpy(self._boxes(rng, 64))
+        b2 = torch.from_numpy(self._boxes(rng, 64))
+        eps = 1e-7
+        (b1x1, b1y1, b1x2, b1y2), (b2x1, b2y1, b2x2, b2y2) = b1.chunk(4, -1), b2.chunk(4, -1)
+        w1, h1 = b1x2 - b1x1, (b1y2 - b1y1) + eps
+        w2, h2 = b2x2 - b2x1, (b2y2 - b2y1) + eps
+        inter = ((torch.min(b1x2, b2x2) - torch.max(b1x1, b2x1)).clamp(0) *
+                 (torch.min(b1y2, b2y2) - torch.max(b1y1, b2y1)).clamp(0))
+        union = w1 * h1 + w2 * h2 - inter + eps
+        iou = inter / union
+        cw = torch.max(b1x2, b2x2) - torch.min(b1x1, b2x1)
+        ch = torch.max(b1y2, b2y2) - torch.min(b1y1, b2y1)
+        c2 = cw ** 2 + ch ** 2 + eps
+        rho2 = ((b2x1 + b2x2 - b1x1 - b1x2) ** 2 + (b2y1 + b2y2 - b1y1 - b1y2) ** 2) / 4
+        v = (4 / np.pi ** 2) * (torch.atan(w2 / h2) - torch.atan(w1 / h1)).pow(2)
+        alpha = v / (v - iou + (1 + eps))
+        want = (iou - (rho2 / c2 + v * alpha)).numpy()
+        got = ops.bbox_iou(jnp.asarray(b1.numpy()), jnp.asarray(b2.numpy()),
+                           xywh=False, CIoU=True)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_make_anchors(self):
+        pts, strides = ops.make_anchors([(4, 4), (2, 2)], [8, 16])
+        assert pts.shape == (20, 2) and strides.shape == (20, 1)
+        np.testing.assert_allclose(np.asarray(pts[0]), [0.5, 0.5])
+        np.testing.assert_allclose(np.asarray(pts[1]), [1.5, 0.5])  # x varies fastest
+        np.testing.assert_allclose(np.asarray(strides[:16]), 8)
+
+    def test_dist2bbox_bbox2dist_roundtrip(self, rng):
+        anchors = jnp.asarray(rng.uniform(5, 35, (10, 2)).astype(np.float32))
+        dist = jnp.asarray(rng.uniform(0, 4, (10, 4)).astype(np.float32))
+        box = ops.dist2bbox(dist, anchors, xywh=False)
+        back = ops.bbox2dist(anchors, box, reg_max=16)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(dist), atol=1e-5)
+
+
+class TestNMS:
+    @staticmethod
+    def _greedy_numpy(boxes, scores, iou_thres):
+        """Independent O(n^2) greedy NMS in numpy (torchvision.ops.nms semantics)."""
+        order = np.argsort(-scores, kind="stable")
+        keep = []
+        while order.size:
+            i = order[0]
+            keep.append(i)
+            xx1 = np.maximum(boxes[i, 0], boxes[order[1:], 0])
+            yy1 = np.maximum(boxes[i, 1], boxes[order[1:], 1])
+            xx2 = np.minimum(boxes[i, 2], boxes[order[1:], 2])
+            yy2 = np.minimum(boxes[i, 3], boxes[order[1:], 3])
+            inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+            a = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+            iou = inter / (a[i] + a[order[1:]] - inter + 1e-7)
+            order = order[1:][iou <= iou_thres]
+        return keep
+
+    def test_single_class_parity(self, rng):
+        n = 200
+        xy = rng.uniform(0, 80, (n, 2)).astype(np.float32)
+        wh = rng.uniform(4, 40, (n, 2)).astype(np.float32)
+        boxes = np.concatenate([xy, xy + wh], -1)
+        scores = rng.uniform(0.01, 1.0, (n, 1)).astype(np.float32)
+        want = self._greedy_numpy(boxes, scores[:, 0], 0.5)
+        det, cnt = ops.nms_single(jnp.asarray(boxes), jnp.asarray(scores),
+                                  conf_thres=0.001, iou_thres=0.5, max_det=300,
+                                  pre_topk=256)
+        cnt = int(cnt)
+        assert cnt == len(want)
+        got_boxes = np.asarray(det[:cnt, :4])
+        np.testing.assert_allclose(got_boxes, boxes[want], atol=1e-4)
+
+    def test_class_offset_keeps_cross_class_overlaps(self):
+        boxes = np.array([[10, 10, 50, 50], [12, 12, 52, 52]], dtype=np.float32)
+        scores = np.array([[0.9, 0.0], [0.0, 0.8]], dtype=np.float32)
+        det, cnt = ops.nms_single(jnp.asarray(boxes), jnp.asarray(scores),
+                                  conf_thres=0.1, iou_thres=0.5, max_det=10, pre_topk=8)
+        assert int(cnt) == 2  # same boxes, different classes -> both survive
+        det, cnt = ops.nms_single(jnp.asarray(boxes), jnp.asarray(scores),
+                                  conf_thres=0.1, iou_thres=0.5, max_det=10, pre_topk=8,
+                                  agnostic=True)
+        assert int(cnt) == 1  # agnostic suppresses
+
+    def test_batched_shape(self, rng):
+        pred = rng.uniform(0, 1, (2, 84, 100)).astype(np.float32)
+        pred[:, :4] *= 100
+        det, cnt = ops.non_max_suppression(jnp.asarray(pred), conf_thres=0.25,
+                                           iou_thres=0.7, max_det=30, pre_topk=128)
+        assert det.shape == (2, 30, 6) and cnt.shape == (2,)
+
+
+class TestDeformConv:
+    def test_zero_offset_matches_plain_conv(self, rng):
+        """With zero offsets and unit mask, DCNv2 must equal a standard 3x3 conv."""
+        B, H, W, C, O = 2, 8, 8, 4, 6
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        w = rng.standard_normal((3, 3, C, O)).astype(np.float32) * 0.2
+        offset = np.zeros((B, H, W, 18), np.float32)
+        mask = np.ones((B, H, W, 9), np.float32)
+        got = ops.modulated_deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                                          jnp.asarray(mask), jnp.asarray(w))
+        want = jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w), window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    def test_integer_offset_equals_shift(self, rng):
+        """Integer offsets sample exactly the shifted pixels."""
+        B, H, W, C = 1, 6, 6, 2
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        # identity kernel: only center tap, single output channel picks channel 0
+        w = np.zeros((3, 3, C, 1), np.float32)
+        w[1, 1, 0, 0] = 1.0
+        offset = np.zeros((B, H, W, 18), np.float32)
+        offset[..., 2 * 4] = 1.0  # center tap shifted +1 in y
+        mask = np.ones((B, H, W, 9), np.float32)
+        got = np.asarray(ops.modulated_deform_conv2d(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask), jnp.asarray(w)))[0, :, :, 0]
+        want = np.zeros((H, W), np.float32)
+        want[:-1] = x[0, 1:, :, 0]  # out(y) = in(y+1), bottom row samples zero pad
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_mask_scales_output(self, rng):
+        B, H, W, C = 1, 5, 5, 3
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        w = rng.standard_normal((3, 3, C, 2)).astype(np.float32)
+        offset = np.zeros((B, H, W, 18), np.float32)
+        full = ops.modulated_deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                                           jnp.asarray(np.ones((B, H, W, 9), np.float32)),
+                                           jnp.asarray(w))
+        half = ops.modulated_deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                                           jnp.asarray(np.full((B, H, W, 9), 0.5, np.float32)),
+                                           jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(half), np.asarray(full) * 0.5, atol=1e-5)
+
+    def test_gradients_flow_through_offsets(self, rng):
+        B, H, W, C = 1, 4, 4, 2
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, C, 2)).astype(np.float32))
+        mask = jnp.ones((B, H, W, 9))
+
+        def f(off):
+            return jnp.sum(ops.modulated_deform_conv2d(x, off, mask, w) ** 2)
+
+        g = jax.grad(f)(jnp.full((B, H, W, 18), 0.3))
+        assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
