@@ -1,0 +1,130 @@
+"""Prediction engine: stream generator over images/dirs/arrays.
+
+Reference yolo/engine/predictor.py:59-350 re-shaped for TPU: preprocess
+(letterbox) on host, one jit-compiled forward+NMS per static batch shape,
+Results assembly on host. Sources: numpy arrays, file paths, directories,
+globs, lists thereof (the video/webcam loaders arrive with the tracker
+subsystem).
+"""
+from __future__ import annotations
+
+import glob
+import time
+from functools import partial
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Union
+
+import cv2
+import jax
+import numpy as np
+
+from ..cfg import get_cfg
+from ..data.augment import letterbox
+from ..data.dataset import IMG_FORMATS
+from ..ops.boxes import scale_boxes
+from ..ops.nms import non_max_suppression
+from ..utils import LOGGER
+from ..utils.callbacks import CallbackMixin
+from .results import Results
+
+
+def load_source(source) -> List[Dict]:
+    """Resolve a predict source to a list of {img(BGR), path} dicts."""
+    if isinstance(source, np.ndarray):
+        return [{"img": source, "path": "array0.jpg"}]
+    if isinstance(source, (list, tuple)):
+        out = []
+        for s in source:
+            out.extend(load_source(s))
+        return out
+    p = Path(str(source))
+    if p.is_dir():
+        files = sorted(str(f) for f in p.rglob("*") if f.suffix[1:].lower() in IMG_FORMATS)
+    elif p.is_file():
+        files = [str(p)]
+    else:
+        files = sorted(glob.glob(str(source)))
+    if not files:
+        raise FileNotFoundError(f"no images found for source {source!r}")
+    return [{"img": cv2.imread(f), "path": f} for f in files]
+
+
+class BasePredictor(CallbackMixin):
+    def __init__(self, args=None, overrides: Optional[Dict] = None):
+        self.args = get_cfg(args, overrides) if not hasattr(args, "imgsz") else args
+        self.init_callbacks()
+        self.model_holder = None
+        self._infer = None
+
+    def setup_model(self, model_holder, variables=None):
+        self.model_holder = model_holder
+        self.variables = variables or model_holder.variables
+        conf = self.args.conf if self.args.conf else 0.25
+
+        @jax.jit
+        def infer(vs, img):
+            decoded, _ = model_holder.model.apply(vs, img, train=False)
+            return non_max_suppression(decoded, conf_thres=conf,
+                                       iou_thres=self.args.iou,
+                                       max_det=self.args.max_det,
+                                       agnostic=self.args.agnostic_nms)
+        self._infer = infer
+
+    def preprocess(self, imgs: List[np.ndarray]):
+        out, meta = [], []
+        for im in imgs:
+            lb, ratio, pad = letterbox(im, (self.args.imgsz, self.args.imgsz),
+                                       scaleup=True)
+            out.append(lb[..., ::-1].astype(np.float32) / 255.0)
+            meta.append((im.shape[:2], (ratio, pad)))
+        return np.stack(out), meta
+
+    def stream_inference(self, source, batch: int = 1) -> Iterator[Results]:
+        items = load_source(source)
+        names = self.model_holder.names
+        self.run_callbacks("on_predict_start")
+        for i in range(0, len(items), batch):
+            chunk = items[i:i + batch]
+            t0 = time.time()
+            x, meta = self.preprocess([c["img"] for c in chunk])
+            t1 = time.time()
+            dets, counts = jax.device_get(self._infer(self.variables, x))
+            t2 = time.time()
+            self.results = []
+            for j, c in enumerate(chunk):
+                n = int(counts[j])
+                det = np.asarray(dets[j][:n]).copy()
+                ori_shape, ratio_pad = meta[j]
+                if n:
+                    det[:, :4] = scale_boxes((self.args.imgsz, self.args.imgsz),
+                                             det[:, :4], ori_shape, ratio_pad)
+                speed = {"preprocess": (t1 - t0) / len(chunk) * 1e3,
+                         "inference": (t2 - t1) / len(chunk) * 1e3,
+                         "postprocess": 0.0}
+                r = Results(c["img"], c["path"], names, det, speed=speed)
+                self.results.append(r)
+            self.run_callbacks("on_predict_postprocess_end")
+            for r in self.results:
+                if self.args.save or self.args.save_txt:
+                    self._save(r)
+                yield r
+        self.run_callbacks("on_predict_end")
+
+    def _save(self, r: Results):
+        from ..utils import increment_path
+        save_dir = increment_path(Path(self.args.project or "runs/detect") /
+                                  (self.args.name or "predict"), exist_ok=True,
+                                  mkdir=True)
+        stem = Path(r.path).stem
+        if self.args.save:
+            cv2.imwrite(str(save_dir / f"{stem}.jpg"), r.plot())
+        if self.args.save_txt:
+            r.save_txt(save_dir / "labels" / f"{stem}.txt", self.args.save_conf)
+
+    def __call__(self, source, stream: bool = False, batch: int = 1):
+        gen = self.stream_inference(source, batch)
+        return gen if stream else list(gen)
+
+
+class DetectionPredictor(BasePredictor):
+    """Detect-task predictor (reference yolo/v8/detect/predict.py:10-29)."""

@@ -1,0 +1,443 @@
+"""Declarative model compiler: YAML layer lists -> a single flax module.
+
+TPU-native re-design of reference nn/tasks.py. The reference interprets the
+YAML into an nn.Sequential executed layer-by-layer in Python
+(tasks.py:604-699, 65-87); here the YAML is parsed once into a tuple of
+static LayerSpecs and compiled into ONE linen module whose __call__ unrolls
+the graph at trace time — zero Python dispatch after jit, full XLA fusion
+across layers.
+
+Stride discovery uses jax.eval_shape on a dummy 640px input (shape-only,
+no FLOPs) instead of the reference's real dummy forward (tasks.py:241-245).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.core import unfreeze
+
+from ..utils import LOGGER, PKG_ROOT, colorstr, yaml_load
+from .modules import block as B
+from .modules import conv as C
+from .modules import head as H
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    """Round channel count up to the nearest multiple of divisor."""
+    return math.ceil(x / divisor) * divisor
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    """One compiled layer of the graph (static, hashable)."""
+    i: int                                   # layer index
+    f: Union[int, Tuple[int, ...]]           # input layer(s), -1 = previous
+    n: int                                   # repeats (depth-scaled)
+    name: str                                # module type name from YAML
+    args: Tuple[Any, ...]                    # normalized args (c1 first where applicable)
+    c2: int                                  # output channels
+
+    @property
+    def from_list(self):
+        return [self.f] if isinstance(self.f, int) else list(self.f)
+
+
+# Module sets sharing the conv-style channel arithmetic (reference tasks.py:637-645)
+_CONV_LIKE = {"Classify", "Conv", "ConvTranspose", "GhostConv", "Bottleneck",
+              "GhostBottleneck", "SPP", "SPPF", "DWConv", "Focus", "BottleneckCSP",
+              "C1", "C2", "C2f", "MSPA_C2f", "C3", "C3x", "C3Ghost", "RepC3"}
+_REPEAT_BLOCKS = {"BottleneckCSP", "C1", "C2", "C2f", "MSPA_C2f", "C3", "C3x",
+                  "C3Ghost", "RepC3"}
+_HEADS = {"Detect", "Segment", "Pose", "TOODHead"}
+
+
+def parse_model(d: Dict, ch: int = 3, verbose: bool = True
+                ) -> Tuple[Tuple[LayerSpec, ...], Tuple[int, ...], Dict]:
+    """Interpret a model YAML dict into LayerSpecs + save list.
+
+    Mirrors the channel arithmetic of reference parse_model (tasks.py:604-699)
+    including the GOLD-YOLO special cases (tasks.py:669-684).
+    """
+    nc = d.get("nc")
+    scales = d.get("scales")
+    depth, width, max_channels = d.get("depth_multiple", 1.0), d.get("width_multiple", 1.0), float("inf")
+    if scales:
+        scale = d.get("scale")
+        if not scale:
+            scale = tuple(scales.keys())[0]
+            if verbose:
+                LOGGER.warning(f"WARNING no model scale passed, assuming scale='{scale}'")
+        depth, width, max_channels = scales[scale]
+
+    chs = [ch]
+    specs, save = [], []
+    rows = list(d["backbone"]) + list(d["head"])
+    for i, (f, n, m, args) in enumerate(rows):
+        args = list(args)
+        for j, a in enumerate(args):
+            if isinstance(a, str):
+                if a == "nc":
+                    args[j] = nc
+                elif a in ("True", "False", "None"):
+                    args[j] = {"True": True, "False": False, "None": None}[a]
+        n = n_scaled = max(round(n * depth), 1) if n > 1 else n
+
+        if m in _CONV_LIKE:
+            c1, c2 = chs[f], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c1, c2, *args[1:]]
+            if m in _REPEAT_BLOCKS:
+                args.insert(2, n)
+                n = 1
+        elif m in ("HGStem", "HGBlock"):
+            c1, cm, c2 = chs[f], args[0], args[1]
+            args = [c1, cm, c2, *args[2:]]
+            if m == "HGBlock":
+                args.insert(4, n)
+                n = 1
+        elif m == "nn.Upsample":
+            c2 = chs[f]
+        elif m == "Concat":
+            c2 = sum(chs[x] for x in f)
+        elif m in _HEADS:
+            args.append([chs[x] for x in f])
+            if m == "Segment":
+                args[2] = make_divisible(min(args[2], max_channels) * width, 8)
+            c2 = None  # heads terminate the graph
+        # ---- GOLD-YOLO special cases (reference tasks.py:669-684) ----
+        elif m == "SimFusion_4in":
+            c2 = sum(chs[x] for x in f)
+        elif m == "SimFusion_3in":
+            c2 = args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [[chs[x] for x in f], c2]
+        elif m == "IFM":
+            c1 = chs[f]
+            c2 = sum(args[0])
+            args = [c1, *args]
+        elif m == "InjectionMultiSum_Auto_pool":
+            c1 = chs[f[0]]
+            c2 = args[0]
+            args = [c1, *args]
+        else:
+            c2 = chs[f]
+
+        def _freeze(a):
+            return tuple(_freeze(x) for x in a) if isinstance(a, list) else a
+
+        spec = LayerSpec(i=i, f=tuple(f) if isinstance(f, list) else f, n=n,
+                         name=m, args=tuple(_freeze(a) for a in args), c2=c2 or 0)
+        specs.append(spec)
+        save.extend(x % i for x in spec.from_list if x != -1)
+        if verbose:
+            LOGGER.info(f"{i:>3}{str(f):>18}{n_scaled:>3}  {m:<28}{str(args):<40}")
+        if i == 0:
+            chs = []
+        chs.append(c2 if c2 else chs[-1] if chs else ch)
+    return tuple(specs), tuple(sorted(set(save))), {"nc": nc, "depth": depth,
+                                                    "width": width}
+
+
+def build_module(spec: LayerSpec, dtype, strides: Optional[Tuple[int, ...]],
+                 kpt_shape=(17, 3)) -> nn.Module:
+    """Instantiate the linen module for one LayerSpec."""
+    a = spec.args
+    name = f"model_{spec.i}"
+    m = spec.name
+    if m == "Conv":
+        k = a[2] if len(a) > 2 else 1
+        s = a[3] if len(a) > 3 else 1
+        return C.Conv(a[1], k, s, dtype=dtype, name=name)
+    if m == "DWConv":
+        return C.DWConv(a[1], a[2] if len(a) > 2 else 1, a[3] if len(a) > 3 else 1,
+                        dtype=dtype, name=name)
+    if m == "ConvTranspose":
+        return C.ConvTranspose(a[1], *(a[2:]), dtype=dtype, name=name)
+    if m == "Focus":
+        return C.Focus(a[1], a[2] if len(a) > 2 else 1, dtype=dtype, name=name)
+    if m == "GhostConv":
+        return C.GhostConv(a[1], *(a[2:4]), dtype=dtype, name=name)
+    if m in ("C2f", "C2", "C3", "C3x", "C3Ghost", "BottleneckCSP"):
+        cls = {"C2f": B.C2f, "C2": B.C2, "C3": B.C3, "C3x": B.C3x,
+               "C3Ghost": B.C3Ghost, "BottleneckCSP": B.BottleneckCSP}[m]
+        shortcut = a[3] if len(a) > 3 else (False if m == "C2f" else True)
+        return cls(a[1], n=a[2], shortcut=shortcut, dtype=dtype, name=name)
+    if m == "MSPA_C2f":
+        shortcut = a[3] if len(a) > 3 else False
+        return B.MSPA_C2f(a[0], a[1], n=a[2], shortcut=shortcut, dtype=dtype, name=name)
+    if m == "C1":
+        return B.C1(a[1], n=a[2], dtype=dtype, name=name)
+    if m == "RepC3":
+        return B.RepC3(a[1], n=a[2], dtype=dtype, name=name)
+    if m == "Bottleneck":
+        return B.Bottleneck(a[1], *(a[2:]), dtype=dtype, name=name)
+    if m == "GhostBottleneck":
+        return B.GhostBottleneck(a[1], *(a[2:]), dtype=dtype, name=name)
+    if m == "SPPF":
+        return B.SPPF(a[1], a[2] if len(a) > 2 else 5, dtype=dtype, name=name)
+    if m == "SPP":
+        return B.SPP(a[1], tuple(a[2]) if len(a) > 2 else (5, 9, 13), dtype=dtype, name=name)
+    if m == "HGStem":
+        return B.HGStem(a[1], a[2], dtype=dtype, name=name)
+    if m == "HGBlock":
+        return B.HGBlock(a[1], a[2], *(a[3:]), dtype=dtype, name=name)
+    if m == "nn.Upsample":
+        return C.Upsample(scale=int(a[1]), mode=a[2], name=name)
+    if m == "Concat":
+        return C.Concat(name=name)
+    if m == "SimFusion_4in":
+        return B.SimFusion_4in(dtype=dtype, name=name)
+    if m == "SimFusion_3in":
+        return B.SimFusion_3in(tuple(a[0]), a[1], dtype=dtype, name=name)
+    if m == "IFM":
+        return B.IFM(tuple(a[1]), dtype=dtype, name=name)
+    if m == "InjectionMultiSum_Auto_pool":
+        return B.InjectionMultiSum_Auto_pool(a[1], tuple(a[2]), a[3], dtype=dtype, name=name)
+    if m == "Detect":
+        return H.Detect(a[0], tuple(a[-1]), strides=strides, dtype=dtype, name=name)
+    if m == "TOODHead":
+        return H.TOODHead(a[0], a[1], tuple(a[-1]), strides=strides, dtype=dtype, name=name)
+    if m == "Segment":
+        return H.Segment(a[0], a[1], a[2], tuple(a[-1]), strides=strides, dtype=dtype, name=name)
+    if m == "Pose":
+        return H.Pose(a[0], tuple(a[1]), tuple(a[-1]), strides=strides, dtype=dtype, name=name)
+    if m == "Classify":
+        return H.Classify(a[1], dtype=dtype, name=name)
+    raise KeyError(f"unknown module type {m!r}")
+
+
+def fast_init(model: nn.Module, key, dummy: jnp.ndarray) -> Dict:
+    """Materialize a variables tree from eval_shape'd structure — no forward
+    trace, no XLA compile (the reference pays a real dummy forward per build,
+    tasks.py:241-245; we pay shape inference only).
+
+    Leaves are filled by name with the same distributions the module
+    initializers use: conv/dense kernels kaiming-uniform (torch default),
+    norm scales 1, biases/means 0, variances 1, GRN gamma/beta 0.
+    """
+    shapes = jax.eval_shape(lambda k, x: model.init(k, x, train=True), key, dummy)
+    seed = int(jax.random.randint(key, (), 0, 2 ** 31 - 1))
+
+    def materialize(path, sds):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        shape, dtype = sds.shape, sds.dtype
+        if name in ("kernel", "weight", "reduction_weight") and len(shape) >= 2:
+            pathstr = "/".join(p.key if hasattr(p, "key") else str(p) for p in path)
+            rng = np.random.default_rng((seed * 1000003 + hash(pathstr)) % (2 ** 63))
+            if len(shape) == 4:  # HWIO conv
+                fan_in = shape[0] * shape[1] * shape[2]
+            else:  # dense (in, out)
+                fan_in = shape[0]
+            bound = math.sqrt(3.0 / fan_in)
+            return rng.uniform(-bound, bound, shape).astype(dtype)
+        if name in ("scale", "var"):
+            return np.ones(shape, dtype)
+        return np.zeros(shape, dtype)  # bias, mean, gamma, beta
+
+    return jax.tree_util.tree_map_with_path(materialize, shapes)
+
+
+class GraphModel(nn.Module):
+    """The compiled model graph: unrolled static layer list with a save set."""
+    specs: Tuple[LayerSpec, ...]
+    save: Tuple[int, ...]
+    strides: Optional[Tuple[int, ...]] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        saved = {}
+        out = x.astype(self.dtype)
+        for spec in self.specs:
+            mod = build_module(spec, self.dtype, self.strides)
+            if spec.f == -1:
+                inp = out
+            elif isinstance(spec.f, int):
+                inp = saved[spec.f]
+            else:
+                inp = [out if j == -1 else saved[j] for j in spec.f]
+            if spec.n > 1:  # sequential repeat (rare: only non-CSP modules)
+                for _ in range(spec.n):
+                    inp = mod(inp, train=train)
+                out = inp
+            else:
+                out = mod(inp, train=train)
+            if spec.i in self.save:
+                saved[spec.i] = out
+        return out
+
+
+def guess_model_scale(path) -> str:
+    """Extract the n/s/m/l/x scale letter from a filename like yolov8s.yaml."""
+    m = re.search(r"yolov\d+([nslmx])", Path(str(path)).stem)
+    return m.group(1) if m else ""
+
+
+def yaml_model_load(path) -> Dict:
+    """Load a model YAML, resolving scale suffix and package model zoo paths."""
+    path = Path(str(path))
+    unified = re.sub(r"(\d+)([nslmx])(.+)?$", r"\1\3", str(path))
+    candidates = [Path(unified), path,
+                  PKG_ROOT / "models" / "v8" / Path(unified).name,
+                  PKG_ROOT / "models" / "v8" / path.name]
+    for cand in candidates:
+        if Path(cand).is_file():
+            d = yaml_load(cand)
+            d["scale"] = guess_model_scale(path)
+            d["yaml_file"] = str(path)
+            return d
+    raise FileNotFoundError(f"model yaml '{path}' not found (searched {[str(c) for c in candidates]})")
+
+
+class BaseModel:
+    """Shared model-holder: compiled graph + params + apply helpers."""
+
+    task = "detect"
+
+    def info(self):
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
+        LOGGER.info(f"model: {len(self.specs)} layers, {n_params:,} parameters")
+        return len(self.specs), n_params
+
+    @property
+    def params(self):
+        return self.variables["params"]
+
+    def num_params(self) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
+
+
+class DetectionModel(BaseModel):
+    """YAML-defined detection model (reference nn/tasks.py:222-294).
+
+    Build: parse YAML -> eval_shape stride discovery at 640px -> final graph
+    with static strides -> param init -> detect-head bias init.
+    """
+
+    task = "detect"
+
+    def __init__(self, cfg="yolov8n.yaml", ch: int = 3, nc: Optional[int] = None,
+                 verbose: bool = False, dtype=jnp.float32, seed: int = 0):
+        self.yaml = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+        if nc and nc != self.yaml.get("nc"):
+            LOGGER.info(f"overriding nc={self.yaml.get('nc')} with nc={nc}")
+            self.yaml["nc"] = nc
+        self.specs, self.save, meta = parse_model(self.yaml, ch, verbose=verbose)
+        self.nc = meta["nc"]
+        self.dtype = dtype
+        head = self.specs[-1]
+        self.head_name = head.name
+        self.reg_max = 16 if head.name == "TOODHead" else 4  # fork quirk (head.py:145,481)
+        self.no = self.nc + 4 * self.reg_max
+
+        # stride discovery: shape-only trace of a 640px dummy forward
+        probe = GraphModel(self.specs, self.save, strides=None, dtype=dtype)
+        key = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1, 640, 640, ch), dtype)
+        out_shape = jax.eval_shape(lambda k, x: probe.init_with_output(k, x, train=True), key, dummy)[0]
+        feats = self._head_feats(out_shape)
+        self.stride = tuple(int(640 / f.shape[1]) for f in feats)
+
+        self.model = GraphModel(self.specs, self.save, strides=self.stride, dtype=dtype)
+        self.variables = unfreeze(jax.device_get(
+            fast_init(self.model, key, jnp.zeros((1, 64, 64, ch), dtype))))
+        self._bias_init()
+        self.names = {i: f"{i}" for i in range(self.nc)}
+
+    def _head_feats(self, out):
+        """Pull the per-scale raw map list out of a head output structure."""
+        if isinstance(out, tuple) and len(out) == 2:
+            second = out[1]
+            if isinstance(second, (list, tuple)) and len(second) and hasattr(second[0], "shape") \
+                    and not isinstance(second[0], (list, tuple)):
+                return list(second)
+            if isinstance(second, tuple):  # Segment/Pose nested
+                return list(second[0])
+        return [out]
+
+    def _bias_init(self):
+        """Detect/TOOD prior bias init (reference head.py:179-186, 560-568)."""
+        head_key = f"model_{self.specs[-1].i}"
+        p = self.variables["params"].get(head_key)
+        if p is None:
+            return
+        if self.head_name == "TOODHead":
+            # reference quirk: stride hardcoded to 16 regardless of actual stride
+            p["cv2"]["bias"] = jnp.ones_like(p["cv2"]["bias"])
+            p["cv3"]["bias"] = jnp.full_like(p["cv3"]["bias"],
+                                             math.log(5 / self.nc / (640 / 16) ** 2))
+        elif self.head_name in ("Detect", "Segment", "Pose"):
+            tgt = p.get("detect", p)
+            for i, s in enumerate(self.stride):
+                if f"cv2_{i}_2" in tgt:
+                    tgt[f"cv2_{i}_2"]["bias"] = jnp.ones_like(tgt[f"cv2_{i}_2"]["bias"])
+                    tgt[f"cv3_{i}_2"]["bias"] = jnp.full_like(
+                        tgt[f"cv3_{i}_2"]["bias"], math.log(5 / self.nc / (640 / s) ** 2))
+
+    # ---- forward helpers -------------------------------------------------
+    def apply(self, variables, x, train: bool = False, mutable=None):
+        if mutable is None:
+            mutable = ["batch_stats"] if train else False
+        return self.model.apply(variables, x, train=train, mutable=mutable)
+
+    def predict(self, x, variables=None):
+        """Eval forward: returns (decoded (B, 4+nc, A), feats)."""
+        variables = variables or self.variables
+        return self.model.apply(variables, x, train=False)
+
+    def forward_feats(self, variables, x, train: bool = True):
+        """Training forward returning raw per-scale maps (+ updated BN stats)."""
+        out, updates = self.model.apply(variables, x, train=train, mutable=["batch_stats"])
+        return out[1], updates
+
+
+class SegmentationModel(DetectionModel):
+    task = "segment"
+
+
+class PoseModel(DetectionModel):
+    task = "pose"
+
+
+class ClassificationModel(BaseModel):
+    task = "classify"
+
+    def __init__(self, cfg="yolov8n-cls.yaml", ch: int = 3, nc: Optional[int] = None,
+                 verbose: bool = False, dtype=jnp.float32, seed: int = 0):
+        self.yaml = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+        if nc:
+            self.yaml["nc"] = nc
+        self.specs, self.save, meta = parse_model(self.yaml, ch, verbose=verbose)
+        self.nc = meta["nc"]
+        self.dtype = dtype
+        self.stride = (1,)
+        self.model = GraphModel(self.specs, self.save, strides=None, dtype=dtype)
+        self.variables = unfreeze(jax.device_get(
+            fast_init(self.model, jax.random.PRNGKey(seed),
+                      jnp.zeros((1, 224, 224, ch), dtype))))
+        self.names = {i: f"{i}" for i in range(self.nc)}
+
+
+def guess_model_task(cfg) -> str:
+    """Infer task from YAML head name (reference tasks.py:738-803)."""
+    if isinstance(cfg, dict):
+        head = str(cfg.get("head", [[""]])[-1][-2]).lower()
+    else:
+        head = str(cfg).lower()
+    if "classify" in head or "-cls" in head:
+        return "classify"
+    if "segment" in head or "-seg" in head:
+        return "segment"
+    if "pose" in head or "-pose" in head:
+        return "pose"
+    return "detect"  # includes 'toodhead' -> detect (reference tasks.py:757)

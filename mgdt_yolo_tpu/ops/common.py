@@ -95,7 +95,7 @@ def upsample_nearest(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
 def max_pool2d_same(x: jnp.ndarray, kernel: int, stride: int = 1) -> jnp.ndarray:
     """Max pool with torch-style symmetric padding k//2 (used by SPP/SPPF)."""
     pad = kernel // 2
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,
         window_dimensions=(1, kernel, kernel, 1),

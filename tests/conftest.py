@@ -1,21 +1,28 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Env vars must be set before jax is imported anywhere, hence this top-of-file
-block (the JAX-native substitute for the reference's nonexistent multi-GPU
-test fixtures — see SURVEY.md §4).
+This box's sitecustomize (PYTHONPATH=/root/.axon_site) force-registers the
+axon TPU backend at interpreter start and overrides JAX_PLATFORMS, so env
+vars alone don't stick. The backend client is still lazy, though: setting
+XLA_FLAGS and jax.config BEFORE the first jax operation reliably selects an
+8-device virtual CPU platform (the JAX-native substitute for multi-chip
+hardware — SURVEY.md §4's fake-cluster story).
 """
 import os
 import sys
 from pathlib import Path
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # overwrite: the session presets JAX_PLATFORMS=axon
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-REPO_ROOT = Path(__file__).resolve().parents[1]
-if str(REPO_ROOT) not in sys.path:
-    sys.path.insert(0, str(REPO_ROOT))
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 
 import pytest  # noqa: E402
 

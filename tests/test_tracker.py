@@ -1,0 +1,85 @@
+"""Tracker unit tests: Kalman behavior, ByteTrack id stability on synthetic
+linear motion, BoT-SORT GMC path."""
+import numpy as np
+
+from mgdt_yolo_tpu.tracker.bot_sort import BOTSORT
+from mgdt_yolo_tpu.tracker.byte_tracker import BYTETracker
+from mgdt_yolo_tpu.tracker.kalman import KalmanFilterXYAH, KalmanFilterXYWH
+
+
+class TestKalman:
+    def test_predict_moves_with_velocity(self):
+        kf = KalmanFilterXYAH()
+        mean, cov = kf.initiate(np.array([10.0, 10.0, 1.0, 20.0]))
+        mean[4] = 2.0  # vx
+        mean2, cov2 = kf.predict(mean, cov)
+        assert np.isclose(mean2[0], 12.0)
+        assert np.trace(cov2) > np.trace(cov)  # uncertainty grows
+
+    def test_update_pulls_toward_measurement(self):
+        kf = KalmanFilterXYAH()
+        mean, cov = kf.initiate(np.array([10.0, 10.0, 1.0, 20.0]))
+        mean, cov = kf.predict(mean, cov)
+        mean2, _ = kf.update(mean, cov, np.array([14.0, 10.0, 1.0, 20.0]))
+        assert 10.0 < mean2[0] <= 14.0
+
+    def test_multi_predict_matches_single(self):
+        for KF in (KalmanFilterXYAH, KalmanFilterXYWH):
+            kf = KF()
+            m1, c1 = kf.initiate(np.array([5.0, 6.0, 1.2, 30.0]))
+            m2, c2 = kf.initiate(np.array([50.0, 60.0, 0.8, 10.0]))
+            sm1, sc1 = kf.predict(m1.copy(), c1.copy())
+            means, covs = kf.multi_predict(np.stack([m1, m2]), np.stack([c1, c2]))
+            np.testing.assert_allclose(means[0], sm1, atol=1e-9)
+            np.testing.assert_allclose(covs[0], sc1, atol=1e-9)
+
+
+def _moving_boxes(t, n=2):
+    """n boxes translating right at distinct speeds."""
+    out = []
+    for i in range(n):
+        x = 20 + 50 * i + 3 * t * (i + 1)
+        y = 30 + 40 * i
+        out.append([x, y, x + 25, y + 25])
+    return np.asarray(out, np.float32)
+
+
+class TestByteTrack:
+    def test_id_stability_linear_motion(self):
+        tr = BYTETracker()
+        ids_per_frame = []
+        for t in range(10):
+            boxes = _moving_boxes(t)
+            res = tr.update(boxes, np.array([0.9, 0.85]), np.array([0.0, 1.0]))
+            if t >= 1:  # activated from frame 2 on
+                ids_per_frame.append(tuple(sorted(res[:, 4].astype(int))))
+        assert len(ids_per_frame) >= 8
+        assert len(set(ids_per_frame)) == 1, f"ids changed: {set(ids_per_frame)}"
+
+    def test_low_conf_rescue(self):
+        tr = BYTETracker()
+        for t in range(5):
+            tr.update(_moving_boxes(t, 1), np.array([0.9]), np.array([0.0]))
+        # drop confidence into the low band; track should survive via stage 2
+        res = tr.update(_moving_boxes(5, 1), np.array([0.3]), np.array([0.0]))
+        assert len(res) == 1
+
+    def test_track_lost_then_removed(self):
+        tr = BYTETracker()
+        for t in range(3):
+            tr.update(_moving_boxes(t, 1), np.array([0.9]), np.array([0.0]))
+        for _ in range(3):  # object disappears
+            res = tr.update(np.zeros((0, 4), np.float32), np.zeros(0), np.zeros(0))
+        assert len(res) == 0
+        assert len(tr.lost_stracks) >= 1
+
+
+class TestBotSort:
+    def test_update_with_image_runs_gmc(self):
+        tr = BOTSORT()
+        img = np.random.default_rng(0).integers(0, 255, (120, 160, 3),
+                                                dtype=np.uint8)
+        for t in range(4):
+            res = tr.update(_moving_boxes(t), np.array([0.9, 0.8]),
+                            np.array([0.0, 1.0]), img)
+        assert len(res) == 2
