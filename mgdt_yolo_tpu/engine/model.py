@@ -21,10 +21,19 @@ from .predictor import DetectionPredictor
 from .trainer import DetectionTrainer
 from .validator import DetectionValidator
 
+def _classify_entry():
+    from ..nn.tasks import ClassificationModel
+    from .classify import (ClassificationPredictor, ClassificationTrainer,
+                           ClassificationValidator)
+    return [ClassificationModel, ClassificationTrainer, ClassificationValidator,
+            ClassificationPredictor]
+
+
 TASK_MAP: Dict[str, list] = {
     "detect": [DetectionModel, DetectionTrainer, DetectionValidator,
                DetectionPredictor],
 }
+TASK_MAP["classify"] = _classify_entry()
 
 
 class YOLO:

@@ -29,24 +29,10 @@ from .results import Results
 
 
 def load_source(source) -> List[Dict]:
-    """Resolve a predict source to a list of {img(BGR), path} dicts."""
-    if isinstance(source, np.ndarray):
-        return [{"img": source, "path": "array0.jpg"}]
-    if isinstance(source, (list, tuple)):
-        out = []
-        for s in source:
-            out.extend(load_source(s))
-        return out
-    p = Path(str(source))
-    if p.is_dir():
-        files = sorted(str(f) for f in p.rglob("*") if f.suffix[1:].lower() in IMG_FORMATS)
-    elif p.is_file():
-        files = [str(p)]
-    else:
-        files = sorted(glob.glob(str(source)))
-    if not files:
-        raise FileNotFoundError(f"no images found for source {source!r}")
-    return [{"img": cv2.imread(f), "path": f} for f in files]
+    """Resolve a predict source to a list of {img(BGR), path} dicts (images,
+    videos, streams, arrays — via data/loaders.py source sniffing)."""
+    from ..data.loaders import load_inference_source
+    return list(load_inference_source(source))
 
 
 class BasePredictor(CallbackMixin):
