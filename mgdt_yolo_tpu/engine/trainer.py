@@ -205,6 +205,8 @@ class BaseTrainer(CallbackMixin):
 
     # ---- train loop ------------------------------------------------------
     def train(self):
+        from ..utils.callbacks_integrations import add_integration_callbacks
+        add_integration_callbacks(self)
         self.run_callbacks("on_pretrain_routine_start")
         mh = self.setup_model()
         args = self.args

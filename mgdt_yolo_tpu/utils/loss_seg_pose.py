@@ -1,0 +1,190 @@
+"""Segmentation and pose training losses, fixed-shape JAX.
+
+Re-implementations of reference yolo/utils/loss.py:212-392:
+- SegmentationLoss: detection loss + per-anchor prototype-mask BCE cropped
+  to the assigned gt box and area-normalized. The reference's per-image
+  Python loop with boolean indexing (loss.py:272-284) becomes fully batched
+  mask arithmetic over all anchors.
+- PoseLoss: detection loss + OKS-style keypoint location loss
+  (KeypointLoss, loss.py:92-104) + keypoint-visibility BCE.
+
+Both reuse DetectionLoss's assigner pass (targets returned by a shared core).
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.boxes import make_anchors, xyxy2xywh
+from .loss import DetectionLoss, LossOutputs, _bce_logits
+from .tal import heuristic_assign_v1
+
+
+class SegmentationLoss(DetectionLoss):
+    """v8SegmentationLoss equivalent. Head output: (feats, mask_coefs, proto).
+
+    Extra batch keys: `masks` (b, G, mh, mw) float per-gt binary masks already
+    at prototype resolution (non-overlap encoding — padded per-gt planes
+    replace the reference's index-encoded overlap masks, which don't batch).
+    """
+
+    def __init__(self, nc: int, reg_max: int, strides, nm: int = 32, **kw):
+        super().__init__(nc, reg_max, strides, **kw)
+        self.nm = nm
+
+    def __call__(self, head_out, batch: Dict, step) -> LossOutputs:
+        feats, mask_coefs, proto = head_out
+        b = feats[0].shape[0]
+        flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1)
+        pred_distri = flat[..., :self.reg_max * 4]
+        pred_scores = flat[..., self.reg_max * 4:]
+        shapes = [f.shape[1:3] for f in feats]
+        anchor_points, stride_tensor = make_anchors(shapes, self.strides, 0.5)
+        pred_bboxes = self._bbox_decode(anchor_points, pred_distri)
+
+        gt_labels = batch["gt_labels"]
+        gt_bboxes = batch["gt_bboxes"].astype(jnp.float32)
+        mask_gt = batch["mask_gt"]
+        assign = heuristic_assign_v1(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores.astype(jnp.float32))),
+            jax.lax.stop_gradient(pred_bboxes * stride_tensor),
+            anchor_points * stride_tensor, gt_labels, gt_bboxes, mask_gt,
+            step, num_classes=self.nc, epoch_num=self.epoch_num,
+            topk=self.tal_topk, beta=self.tal_beta)
+
+        tss = jnp.maximum(assign.target_scores.sum(), 1.0)
+        fg = assign.fg_mask
+        loss_cls = _bce_logits(pred_scores, assign.target_scores).sum() / tss
+        target_bboxes = assign.target_bboxes / stride_tensor
+        weight = assign.target_scores.sum(-1) * fg
+        from ..ops.boxes import bbox2dist, bbox_iou
+        iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True).squeeze(-1)
+        loss_box = ((1.0 - iou) * weight).sum() / tss
+        from .loss import _df_loss
+        target_ltrb = bbox2dist(anchor_points, target_bboxes, self.reg_max - 1)
+        dist = pred_distri.reshape(b, -1, 4, self.reg_max)
+        loss_dfl = (_df_loss(dist, target_ltrb) * weight).sum() / tss
+
+        # ---- mask loss (reference loss.py:272-300) ----
+        # A full (b, A, mh, mw) per-anchor mask tensor is memory-prohibitive
+        # (8400 anchors x 160^2); instead take the top-K foreground anchors by
+        # assignment weight (K=64 covers every realistic positive count) and
+        # compute crop-BCE only for those — identical loss whenever the image
+        # has <= K positives.
+        K = 64
+        mh, mw = proto.shape[1:3]
+        masks = batch["masks"].astype(jnp.float32)  # (b, G, mh, mw)
+        sel_w, sel_idx = jax.lax.top_k(jnp.where(fg, weight, -1.0), K)  # (b, K)
+        sel_fg = sel_w > 0
+        coefs = jnp.take_along_axis(mask_coefs, sel_idx[..., None], axis=1)  # (b,K,nm)
+        sel_gt = jnp.take_along_axis(assign.target_gt_idx, sel_idx, axis=1)  # (b,K)
+        tgt_m = jnp.take_along_axis(masks, sel_gt[:, :, None, None], axis=1)  # (b,K,mh,mw)
+        pred_m = jnp.einsum("bkn,bhwn->bkhw", coefs, proto,
+                            preferred_element_type=jnp.float32)
+        sel_boxes = jnp.take_along_axis(assign.target_bboxes, sel_idx[..., None],
+                                        axis=1)  # (b, K, 4) input pixels
+        img_w = shapes[0][1] * self.strides[0]
+        img_h = shapes[0][0] * self.strides[0]
+        norm = jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32)
+        xyxyn = sel_boxes / norm
+        area = jnp.clip(xyxy2xywh(xyxyn)[..., 2:].prod(-1), 1e-4, None)  # (b, K)
+        mxy = xyxyn * jnp.asarray([mw, mh, mw, mh], jnp.float32)  # (b, K, 4)
+        yy = jnp.arange(mh, dtype=jnp.float32).reshape(1, 1, mh, 1)
+        xx = jnp.arange(mw, dtype=jnp.float32).reshape(1, 1, 1, mw)
+        crop = ((xx >= mxy[..., 0].reshape(b, K, 1, 1)) &
+                (xx < mxy[..., 2].reshape(b, K, 1, 1)) &
+                (yy >= mxy[..., 1].reshape(b, K, 1, 1)) &
+                (yy < mxy[..., 3].reshape(b, K, 1, 1)))
+        bce = _bce_logits(pred_m, tgt_m) * crop
+        per_anchor = bce.mean(axis=(2, 3)) / area  # (b, K)
+        loss_seg = (per_anchor * sel_fg).sum() / jnp.maximum(sel_fg.sum(), 1)
+
+        bg, cg, dg = self.gains
+        parts = jnp.stack([loss_box * bg, loss_seg * bg / b, loss_cls * cg,
+                           loss_dfl * dg])
+        return LossOutputs(parts.sum() * b, jax.lax.stop_gradient(parts))
+
+
+class PoseLoss(DetectionLoss):
+    """v8PoseLoss equivalent. Head output: (feats, kpt_flat).
+
+    Extra batch keys: `keypoints` (b, G, nk, 3) in input pixels with
+    visibility in channel 2.
+    """
+
+    def __init__(self, nc: int, reg_max: int, strides, kpt_shape=(17, 3),
+                 pose_gain: float = 12.0, kobj_gain: float = 1.0, **kw):
+        super().__init__(nc, reg_max, strides, **kw)
+        self.kpt_shape = tuple(kpt_shape)
+        self.pose_gain = pose_gain
+        self.kobj_gain = kobj_gain
+        # OKS sigmas (reference v8PoseLoss init): COCO 17-kpt table or uniform
+        import numpy as np
+        if self.kpt_shape == (17, 3):
+            s = np.array([.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+                          1.07, 1.07, .87, .87, .89, .89]) / 10.0
+        else:
+            s = np.ones(self.kpt_shape[0]) / self.kpt_shape[0]
+        self.sigmas = jnp.asarray(s, jnp.float32)
+
+    def __call__(self, head_out, batch: Dict, step) -> LossOutputs:
+        feats, kpt_flat = head_out
+        b = feats[0].shape[0]
+        flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1)
+        pred_distri = flat[..., :self.reg_max * 4]
+        pred_scores = flat[..., self.reg_max * 4:]
+        shapes = [f.shape[1:3] for f in feats]
+        anchor_points, stride_tensor = make_anchors(shapes, self.strides, 0.5)
+        pred_bboxes = self._bbox_decode(anchor_points, pred_distri)
+
+        gt_labels = batch["gt_labels"]
+        gt_bboxes = batch["gt_bboxes"].astype(jnp.float32)
+        mask_gt = batch["mask_gt"]
+        assign = heuristic_assign_v1(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores.astype(jnp.float32))),
+            jax.lax.stop_gradient(pred_bboxes * stride_tensor),
+            anchor_points * stride_tensor, gt_labels, gt_bboxes, mask_gt,
+            step, num_classes=self.nc, epoch_num=self.epoch_num,
+            topk=self.tal_topk, beta=self.tal_beta)
+        tss = jnp.maximum(assign.target_scores.sum(), 1.0)
+        fg = assign.fg_mask
+        loss_cls = _bce_logits(pred_scores, assign.target_scores).sum() / tss
+        target_bboxes = assign.target_bboxes / stride_tensor
+        weight = assign.target_scores.sum(-1) * fg
+        from ..ops.boxes import bbox2dist, bbox_iou
+        iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True).squeeze(-1)
+        loss_box = ((1.0 - iou) * weight).sum() / tss
+        from .loss import _df_loss
+        target_ltrb = bbox2dist(anchor_points, target_bboxes, self.reg_max - 1)
+        dist = pred_distri.reshape(b, -1, 4, self.reg_max)
+        loss_dfl = (_df_loss(dist, target_ltrb) * weight).sum() / tss
+
+        # ---- keypoint losses (reference loss.py:307-392) ----
+        nk, kdim = self.kpt_shape
+        k = kpt_flat.reshape(b, -1, nk, kdim)  # raw head output per anchor
+        # decode to grid units (reference kpts_decode: *2 + anchor - 0.5)
+        pk_xy = k[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)
+        gt_k = batch["keypoints"].astype(jnp.float32)  # (b, G, nk, 3)
+        sel_k = jnp.take_along_axis(gt_k, assign.target_gt_idx[:, :, None, None],
+                                    axis=1)  # (b, A, nk, 3)
+        sel_xy = sel_k[..., :2] / stride_tensor[None, :, None, :]  # -> grid units
+        vis = (sel_k[..., 2] > 0).astype(jnp.float32)
+        area = jnp.clip(xyxy2xywh(target_bboxes)[..., 2:].prod(-1), 1e-4, None)
+        d2 = ((pk_xy - sel_xy) ** 2).sum(-1)  # (b, A, nk)
+        e = d2 / (2 * self.sigmas[None, None]) ** 2 / (area[..., None] + 1e-9) / 2
+        kpt_factor = vis.sum() / jnp.maximum((vis > 0).sum(), 1)
+        loss_kpt = (((1 - jnp.exp(-e)) * vis).mean(-1) * fg).sum() / \
+            jnp.maximum(fg.sum(), 1) * kpt_factor
+        if kdim == 3:
+            loss_kobj = (_bce_logits(k[..., 2], vis).mean(-1) * fg).sum() / \
+                jnp.maximum(fg.sum(), 1)
+        else:
+            loss_kobj = jnp.zeros(())
+
+        bg, cg, dg = self.gains
+        parts = jnp.stack([loss_box * bg, loss_kpt * self.pose_gain,
+                           loss_kobj * self.kobj_gain, loss_cls * cg,
+                           loss_dfl * dg])
+        return LossOutputs(parts.sum() * b, jax.lax.stop_gradient(parts))
