@@ -23,7 +23,8 @@ def main():
     from mgdt_yolo_tpu.ops.nms import non_max_suppression
 
     imgsz = 640
-    batch = 16
+    batch = 64  # throughput config: the single-chip pipeline is dispatch-bound
+    # below ~batch 32 (per-call tunnel overhead); 64 saturates the chip
     mh = DetectionModel("mspa_c2f_gd_tood_yolov8.yaml", dtype=jnp.bfloat16)
     variables = mh.variables
 

@@ -68,6 +68,7 @@ class BasePredictor(CallbackMixin):
     def stream_inference(self, source, batch: int = 1) -> Iterator[Results]:
         items = load_source(source)
         names = self.model_holder.names
+        self._video_writers = {}
         self.run_callbacks("on_predict_start")
         for i in range(0, len(items), batch):
             chunk = items[i:i + batch]
@@ -90,20 +91,32 @@ class BasePredictor(CallbackMixin):
                 r = Results(c["img"], c["path"], names, det, speed=speed)
                 self.results.append(r)
             self.run_callbacks("on_predict_postprocess_end")
-            for r in self.results:
+            for r, c in zip(self.results, chunk):
                 if self.args.save or self.args.save_txt:
-                    self._save(r)
+                    self._save(r, c)
                 yield r
+        for vw in self._video_writers.values():
+            vw.release()
         self.run_callbacks("on_predict_end")
 
-    def _save(self, r: Results):
+    def _save(self, r: Results, frame_meta=None):
         from ..utils import increment_path
         save_dir = increment_path(Path(self.args.project or "runs/detect") /
                                   (self.args.name or "predict"), exist_ok=True,
                                   mkdir=True)
         stem = Path(r.path).stem
         if self.args.save:
-            cv2.imwrite(str(save_dir / f"{stem}.jpg"), r.plot())
+            if frame_meta and frame_meta.get("is_video"):
+                vw = self._video_writers.get(r.path)
+                if vw is None:
+                    h, w = r.orig_img.shape[:2]
+                    out = str(save_dir / f"{stem}.mp4")
+                    vw = cv2.VideoWriter(out, cv2.VideoWriter_fourcc(*"mp4v"),
+                                         frame_meta.get("fps", 30), (w, h))
+                    self._video_writers[r.path] = vw
+                vw.write(r.plot())
+            else:
+                cv2.imwrite(str(save_dir / f"{stem}.jpg"), r.plot())
         if self.args.save_txt:
             r.save_txt(save_dir / "labels" / f"{stem}.txt", self.args.save_conf)
 

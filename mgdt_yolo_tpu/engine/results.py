@@ -63,6 +63,67 @@ class Boxes(SimpleClass):
         return self.xywh / np.array([w, h, w, h])
 
 
+class Masks(SimpleClass):
+    """(n, H, W) instance masks (reference results.py:447-500)."""
+
+    def __init__(self, masks: np.ndarray, orig_shape):
+        self.data = np.atleast_3d(np.asarray(masks))
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xy(self):
+        """Mask contours in pixel coords via cv2.findContours."""
+        import cv2
+        out = []
+        for m in self.data:
+            cnts, _ = cv2.findContours(m.astype(np.uint8), cv2.RETR_EXTERNAL,
+                                       cv2.CHAIN_APPROX_SIMPLE)
+            out.append(max(cnts, key=cv2.contourArea).reshape(-1, 2).astype(np.float32)
+                       if cnts else np.zeros((0, 2), np.float32))
+        return out
+
+
+class Keypoints(SimpleClass):
+    """(n, nk, 2|3) keypoints (reference results.py:501-540)."""
+
+    def __init__(self, kpts: np.ndarray, orig_shape):
+        self.data = np.asarray(kpts)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xy(self):
+        return self.data[..., :2]
+
+    @property
+    def conf(self):
+        return self.data[..., 2] if self.data.shape[-1] == 3 else None
+
+
+class Probs(SimpleClass):
+    """Classification probabilities (reference results.py:541-605)."""
+
+    def __init__(self, probs: np.ndarray):
+        self.data = np.asarray(probs)
+
+    @property
+    def top1(self):
+        return int(self.data.argmax())
+
+    @property
+    def top5(self):
+        return self.data.argsort()[::-1][:5].tolist()
+
+    @property
+    def top1conf(self):
+        return float(self.data.max())
+
+
 class Results(SimpleClass):
     """Per-image inference result with plotting and serialization helpers."""
 
@@ -78,9 +139,10 @@ class Results(SimpleClass):
         self.names = names
         self.boxes = Boxes(boxes, self.orig_shape) if boxes is not None and len(boxes) \
             else Boxes(np.zeros((0, 6)), self.orig_shape)
-        self.masks = masks
-        self.probs = probs
-        self.keypoints = keypoints
+        self.masks = Masks(masks, self.orig_shape) if masks is not None else None
+        self.probs = Probs(probs) if probs is not None else None
+        self.keypoints = Keypoints(keypoints, self.orig_shape) \
+            if keypoints is not None else None
         self.speed = speed or {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0}
 
     def __len__(self):

@@ -232,13 +232,31 @@ class BaseTrainer(CallbackMixin):
         mesh = create_mesh()
         params = mh.variables["params"]
         batch_stats = mh.variables.get("batch_stats", {})
+        opt_state = tx.init(params)
+        step0 = ema_updates0 = 0
+        if args.resume:
+            ck = self._find_resume_checkpoint()
+            if ck is not None:
+                params = ck["params"]
+                batch_stats = ck.get("batch_stats", batch_stats)
+                step0 = int(ck.get("step", 0))
+                ema_updates0 = int(ck.get("ema_updates", 0))
+                self.start_epoch = int(ck.get("epoch", -1)) + 1
+                self.best_fitness = float(ck.get("best_fitness", 0.0))
+                if ck.get("opt_leaves") is not None:
+                    leaves = [np.asarray(l) for l in ck["opt_leaves"]]
+                    opt_state = jax.tree.unflatten(
+                        jax.tree.structure(opt_state), leaves)
+                LOGGER.info(f"resumed from epoch {self.start_epoch} "
+                            f"(step {step0}, fitness {self.best_fitness:.4f})")
+        ema0 = (ck.get("ema_params") if args.resume and ck is not None else None) \
+            or jax.tree.map(lambda p: np.array(p, copy=True), params)
         state = TrainState(
             params=replicate_tree(params, mesh),
             batch_stats=replicate_tree(batch_stats, mesh),
-            opt_state=replicate_tree(tx.init(params), mesh),
-            ema_params=replicate_tree(jax.tree.map(lambda p: np.array(p, copy=True),
-                                                   params), mesh),
-            step=jnp.int32(0), ema_updates=jnp.int32(0))
+            opt_state=replicate_tree(opt_state, mesh),
+            ema_params=replicate_tree(ema0, mesh),
+            step=jnp.int32(step0), ema_updates=jnp.int32(ema_updates0))
         step_fn = make_train_step(mh.model, criterion, tx)
 
         stopper = EarlyStopping(args.patience)
@@ -305,6 +323,17 @@ class BaseTrainer(CallbackMixin):
                      "batch_stats": jax.device_get(state.batch_stats)}
         return validator(self.model_holder, variables, dataset=val_ds)
 
+    def _find_resume_checkpoint(self):
+        """Most recent last/ checkpoint under the project dir
+        (reference check_resume/get_latest_run, trainer.py:563-581)."""
+        root = Path(self.args.project or "runs/detect")
+        cands = sorted(root.glob("*/weights/last"),
+                       key=lambda p: p.stat().st_mtime, reverse=True)
+        if not cands:
+            LOGGER.warning("resume requested but no checkpoint found")
+            return None
+        return self.load_checkpoint(cands[0])
+
     def save_checkpoint(self, state: TrainState, name: str):
         import orbax.checkpoint as ocp
         path = (self.wdir / name).absolute()
@@ -313,6 +342,8 @@ class BaseTrainer(CallbackMixin):
         ckpt = {"params": jax.device_get(state.params),
                 "ema_params": jax.device_get(state.ema_params),
                 "batch_stats": jax.device_get(state.batch_stats),
+                "opt_leaves": [np.asarray(l) for l in
+                               jax.tree.leaves(jax.device_get(state.opt_state))],
                 "step": int(state.step), "ema_updates": int(state.ema_updates),
                 "epoch": self.epoch, "best_fitness": float(self.best_fitness)}
         ocp.PyTreeCheckpointer().save(path, ckpt)

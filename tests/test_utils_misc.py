@@ -1,0 +1,139 @@
+"""Unit tests: metrics/AP, counting, config system, instances, data utils."""
+import numpy as np
+import pytest
+
+from mgdt_yolo_tpu.cfg import get_cfg
+from mgdt_yolo_tpu.utils.instance import Bboxes, Instances
+from mgdt_yolo_tpu.utils.metrics import (ConfusionMatrix, DetMetrics, ap_per_class,
+                                         compute_ap, counting_agreement,
+                                         counting_errors, match_predictions)
+
+
+class TestConfig:
+    def test_defaults_load(self):
+        cfg = get_cfg()
+        assert cfg.epochs == 100 and cfg.imgsz == 640
+        assert cfg.lr0 == 0.001 and cfg.fliplr == 0.0  # fork deltas preserved
+
+    def test_override_cascade(self):
+        cfg = get_cfg(overrides={"epochs": 5, "lr0": 0.5})
+        assert cfg.epochs == 5 and cfg.lr0 == 0.5
+
+    def test_unknown_key_suggests(self):
+        with pytest.raises(SyntaxError):
+            get_cfg(overrides={"epcohs": 5})
+
+    def test_type_validation(self):
+        with pytest.raises(TypeError):
+            get_cfg(overrides={"epochs": "ten"})
+        with pytest.raises(ValueError):
+            get_cfg(overrides={"lr0": 3.0})  # fraction key
+
+
+class TestAP:
+    def test_perfect_detector(self):
+        n = 20
+        tp = np.ones((n, 10), bool)
+        conf = np.linspace(0.99, 0.5, n)
+        cls = np.zeros(n)
+        r = ap_per_class(tp, conf, cls, np.zeros(n))
+        assert r["ap"][0, 0] > 0.99
+
+    def test_random_detector_low_ap(self):
+        rng = np.random.default_rng(0)
+        tp = np.zeros((50, 10), bool)
+        r = ap_per_class(tp, rng.uniform(size=50), np.zeros(50), np.zeros(30))
+        assert r["ap"][0, 0] < 0.05
+
+    def test_compute_ap_monotone_envelope(self):
+        ap, _, _ = compute_ap(np.array([0.0, 0.5, 1.0]), np.array([1.0, 0.6, 0.2]))
+        assert 0 < ap < 1
+
+    def test_match_predictions_greedy_unique(self):
+        gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], float)
+        pred = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]], float)
+        tp = match_predictions(pred, np.zeros(3), gt, np.zeros(2))
+        assert tp[0, 0] and tp[2, 0] and not tp[1, 0]  # best-IoU unique match
+
+    def test_detmetrics_fitness(self):
+        m = DetMetrics()
+        tp = np.ones((10, 10), bool)
+        m.update(tp, np.linspace(0.9, 0.5, 10), np.zeros(10), np.zeros(10))
+        r = m.process()
+        assert r["fitness"] == pytest.approx(0.1 * r["map50"] + 0.9 * r["map"])
+
+
+class TestCounting:
+    def test_count_errors(self):
+        pred = [{0: 3}, {0: 5}, {0: 0}]
+        gt = [{0: 4}, {0: 5}, {0: 0}]
+        e = counting_errors(pred, gt, [0])
+        assert e[0]["mae"] == pytest.approx(1 / 3)
+        assert e[0]["mape"] == pytest.approx(12.5)  # zero-GT image excluded
+
+    def test_agreement_r2(self):
+        dets = [np.array([[0, 0, 10, 10, 0.9, 0]]),
+                np.array([[0, 0, 10, 10, 0.9, 0], [20, 20, 30, 30, 0.8, 0]])]
+        gts = [(np.array([[0, 0, 10, 10]]), np.array([0.0])),
+               (np.array([[0, 0, 10, 10], [20, 20, 30, 30]]), np.array([0.0, 0.0]))]
+        stats, r2 = counting_agreement(dets, gts, [0])
+        assert stats[0]["tp"] == 3 and stats[0]["fp"] == 0 and stats[0]["fn"] == 0
+        assert r2[0] == pytest.approx(1.0)
+
+    def test_confusion_matrix(self):
+        cm = ConfusionMatrix(nc=2)
+        det = np.array([[0, 0, 10, 10, 0.9, 0], [50, 50, 60, 60, 0.8, 1]])
+        cm.process_batch(det, np.array([[0, 0, 10, 10]]), np.array([0.0]))
+        assert cm.matrix[0, 0] == 1       # true positive class 0
+        assert cm.matrix[1, 2] == 1       # class-1 det with no gt -> FP column
+
+
+class TestInstances:
+    def test_bbox_roundtrip(self):
+        b = Bboxes(np.array([[10.0, 10, 30, 40]]), "xyxy")
+        b.convert("xywh")
+        np.testing.assert_allclose(b.bboxes, [[20, 25, 20, 30]])
+        b.convert("xyxy")
+        np.testing.assert_allclose(b.bboxes, [[10, 10, 30, 40]])
+
+    def test_instances_flip_scale(self):
+        inst = Instances(np.array([[0.25, 0.25, 0.1, 0.1]]), bbox_format="xywh",
+                         normalized=True)
+        inst.denormalize(100, 100)
+        inst.fliplr(100)
+        inst.convert_bbox("xyxy")
+        np.testing.assert_allclose(inst.bboxes, [[70, 20, 80, 30]])
+
+
+class TestDataUtils:
+    def test_polygon2mask(self):
+        from mgdt_yolo_tpu.data.utils import polygon2mask
+        m = polygon2mask((20, 20), [np.array([[2, 2], [18, 2], [18, 18], [2, 18]])])
+        assert m[10, 10] == 1 and m[0, 0] == 0
+
+    def test_verify_image_label(self, tmp_path):
+        import cv2
+        from mgdt_yolo_tpu.data.utils import verify_image_label
+        ip = tmp_path / "a.jpg"
+        cv2.imwrite(str(ip), np.zeros((32, 32, 3), np.uint8))
+        lp = tmp_path / "a.txt"
+        lp.write_text("0 0.5 0.5 0.2 0.2\n")
+        ok, msg = verify_image_label(ip, lp, 2)
+        assert ok, msg
+        lp.write_text("5 0.5 0.5 0.2 0.2\n")
+        ok, msg = verify_image_label(ip, lp, 2)
+        assert not ok
+
+    def test_convert_coco(self, tmp_path):
+        import json
+        from mgdt_yolo_tpu.data.utils import convert_coco
+        data = {"images": [{"id": 1, "file_name": "x.jpg", "width": 100,
+                            "height": 100}],
+                "categories": [{"id": 7, "name": "cat"}],
+                "annotations": [{"image_id": 1, "category_id": 7,
+                                 "bbox": [10, 10, 20, 20], "iscrowd": 0}]}
+        jf = tmp_path / "ann.json"
+        jf.write_text(json.dumps(data))
+        out = convert_coco(str(jf), str(tmp_path / "labels"))
+        txt = (out / "x.txt").read_text().split()
+        assert txt[0] == "0" and float(txt[1]) == pytest.approx(0.2)
