@@ -28,7 +28,8 @@ def collate(items, imgsz: int, max_gt: int, train: bool) -> Dict[str, np.ndarray
     are letterboxed here (scaleup=False matches reference val pipeline).
     """
     b = len(items)
-    imgs = np.empty((b, imgsz, imgsz, 3), np.float32)
+    # uint8 to the device (4x less transfer); normalization happens in-graph
+    imgs = np.empty((b, imgsz, imgsz, 3), np.uint8)
     gt_labels = np.zeros((b, max_gt), np.int32)
     gt_bboxes = np.zeros((b, max_gt, 4), np.float32)
     mask_gt = np.zeros((b, max_gt), bool)
@@ -44,7 +45,7 @@ def collate(items, imgsz: int, max_gt: int, train: bool) -> Dict[str, np.ndarray
                 boxes[:, [1, 3]] = boxes[:, [1, 3]] * ratio[1] + pad[1]
             metas.append({"ori_shape": it.get("ori_shape"), "ratio_pad": (ratio, pad),
                           "path": it.get("path", "")})
-        imgs[j] = img[..., ::-1].astype(np.float32) / 255.0  # BGR->RGB, 0-1
+        imgs[j] = img[..., ::-1]  # BGR->RGB; stays uint8
         n = min(len(boxes), max_gt)
         if n:
             gt_bboxes[j, :n] = boxes[:n]

@@ -49,6 +49,9 @@ class BasePredictor(CallbackMixin):
 
         @jax.jit
         def infer(vs, img):
+            import jax.numpy as jnp
+            if jnp.issubdtype(img.dtype, jnp.integer):
+                img = img.astype(jnp.float32) / 255.0
             decoded, _ = model_holder.model.apply(vs, img, train=False)
             return non_max_suppression(decoded, conf_thres=conf,
                                        iou_thres=self.args.iou,
@@ -61,7 +64,7 @@ class BasePredictor(CallbackMixin):
         for im in imgs:
             lb, ratio, pad = letterbox(im, (self.args.imgsz, self.args.imgsz),
                                        scaleup=True)
-            out.append(lb[..., ::-1].astype(np.float32) / 255.0)
+            out.append(lb[..., ::-1])  # BGR->RGB uint8; normalized on device
             meta.append((im.shape[:2], (ratio, pad)))
         return np.stack(out), meta
 

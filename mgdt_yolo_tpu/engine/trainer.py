@@ -118,10 +118,14 @@ def make_train_step(model, criterion: DetectionLoss, tx, ema_decay: float = 0.99
     """Build the jitted train step: grads + update + EMA in one XLA program."""
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        img = batch["img"]
+        if jnp.issubdtype(img.dtype, jnp.integer):  # uint8 ingest path
+            img = img.astype(jnp.float32) / 255.0
+
         def loss_fn(params):
             (out, updates) = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["img"], train=True, mutable=["batch_stats"])
+                img, train=True, mutable=["batch_stats"])
             feats = out[1]
             lo = criterion(feats, batch, state.step)
             return lo.total, (updates["batch_stats"], lo.parts)

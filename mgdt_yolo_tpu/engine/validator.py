@@ -14,6 +14,7 @@ from functools import partial
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..cfg import get_cfg
@@ -53,6 +54,8 @@ class DetectionValidator(BaseValidator):
 
         @partial(jax.jit, static_argnames=())
         def infer(vs, img):
+            if jnp.issubdtype(img.dtype, jnp.integer):
+                img = img.astype(jnp.float32) / 255.0
             decoded, _ = model_holder.model.apply(vs, img, train=False)
             return non_max_suppression(decoded, conf_thres=conf, iou_thres=args.iou,
                                        max_det=args.max_det, multi_label=True,

@@ -57,7 +57,8 @@ class TestTraining:
         from mgdt_yolo_tpu.utils.metrics import box_iou_numpy
         variables = {"params": jax.device_get(state.params),
                      "batch_stats": jax.device_get(state.batch_stats)}
-        decoded, _ = mh.model.apply(variables, db["img"], train=False)
+        img = db["img"].astype(jnp.float32) / 255.0  # collate ships uint8
+        decoded, _ = mh.model.apply(variables, img, train=False)
         dets, counts = jax.device_get(non_max_suppression(
             decoded, conf_thres=0.05, iou_thres=0.7, max_det=20))
         hits = total_gt = 0
