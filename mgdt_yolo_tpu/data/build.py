@@ -21,11 +21,14 @@ from ..utils import LOGGER
 from .augment import letterbox, train_transform
 
 
-def collate(items, imgsz: int, max_gt: int, train: bool) -> Dict[str, np.ndarray]:
+def collate(items, imgsz: int, max_gt: int, train: bool,
+            mask_ratio: int = 4) -> Dict[str, np.ndarray]:
     """Stack items into one padded batch dict.
 
     Train items are already imgsz-square from the augment pipeline; val items
     are letterboxed here (scaleup=False matches reference val pipeline).
+    Items carrying `masks` / `keypoints` (segment/pose tasks) get padded
+    (b, max_gt, ...) planes at mask_ratio-downsampled resolution.
     """
     b = len(items)
     # uint8 to the device (4x less transfer); normalization happens in-graph
@@ -33,6 +36,11 @@ def collate(items, imgsz: int, max_gt: int, train: bool) -> Dict[str, np.ndarray
     gt_labels = np.zeros((b, max_gt), np.int32)
     gt_bboxes = np.zeros((b, max_gt, 4), np.float32)
     mask_gt = np.zeros((b, max_gt), bool)
+    has_masks = any("masks" in it for it in items)
+    has_kpts = any("keypoints" in it for it in items)
+    mh = imgsz // mask_ratio
+    masks = np.zeros((b, max_gt, mh, mh), np.float32) if has_masks else None
+    kpts = None
     metas = []
     for j, it in enumerate(items):
         img = it["img"]
@@ -51,8 +59,23 @@ def collate(items, imgsz: int, max_gt: int, train: bool) -> Dict[str, np.ndarray
             gt_bboxes[j, :n] = boxes[:n]
             gt_labels[j, :n] = it["cls"][:n].astype(np.int32)
             mask_gt[j, :n] = gt_bboxes[j, :n].sum(-1) > 0
+            if has_masks and "masks" in it:
+                import cv2
+                for k in range(n):
+                    masks[j, k] = cv2.resize(it["masks"][k], (mh, mh),
+                                             interpolation=cv2.INTER_NEAREST)
+            if has_kpts and "keypoints" in it:
+                kp = it["keypoints"]
+                if kpts is None:
+                    kpts = np.zeros((b, max_gt, kp.shape[1], kp.shape[2]),
+                                    np.float32)
+                kpts[j, :n] = kp[:n]
     out = {"img": imgs, "gt_labels": gt_labels, "gt_bboxes": gt_bboxes,
            "mask_gt": mask_gt}
+    if has_masks:
+        out["masks"] = masks
+    if has_kpts and kpts is not None:
+        out["keypoints"] = kpts
     if not train:
         out["metas"] = metas
     return out
@@ -92,12 +115,28 @@ class DataLoader:
 
     def _make_item(self, i: int, rng: random.Random) -> Dict:
         item = self.dataset[i]
-        if self.train:
+        if self.train and "masks" not in item and "keypoints" not in item:
             buf = self.dataset.buffer
             out = train_transform(item, self.imgsz, self.hyp, buf, rng)
             buf.append(item)
             if len(buf) > 32:
                 buf.pop(0)
+            return out
+        if self.train:
+            # segment/pose: geometric-augment propagation for masks/kpts lands
+            # with the full instance-aware pipeline; train on letterboxed items
+            from .augment import letterbox
+            img, r, (dw, dh) = letterbox(item["img"], (self.imgsz, self.imgsz))
+            boxes = item["boxes"].copy()
+            if len(boxes):
+                boxes[:, [0, 2]] = boxes[:, [0, 2]] * r[0] + dw
+                boxes[:, [1, 3]] = boxes[:, [1, 3]] * r[1] + dh
+            out = dict(item, img=img, boxes=boxes)
+            if "keypoints" in item:
+                kp = item["keypoints"].copy()
+                kp[..., 0] = kp[..., 0] * r[0] + dw
+                kp[..., 1] = kp[..., 1] * r[1] + dh
+                out["keypoints"] = kp
             return out
         return item
 

@@ -111,7 +111,7 @@ class SyntheticDetectionDataset:
 
     def __init__(self, n: int = 64, imgsz: int = 320, nc: int = 2,
                  max_objects: int = 6, seed: int = 0, augment: bool = False,
-                 hyp=None):
+                 hyp=None, task: str = "detect"):
         self.n = n
         self.imgsz = imgsz
         self.nc = nc
@@ -119,6 +119,7 @@ class SyntheticDetectionDataset:
         self.seed = seed
         self.augment = augment
         self.hyp = hyp
+        self.task = task  # detect | segment | pose: adds masks / keypoints
         self.buffer: List[Dict] = []
         self.im_files = [f"synthetic_{i}.jpg" for i in range(n)]
         # per-class base colors (BGR)
@@ -148,6 +149,20 @@ class SyntheticDetectionDataset:
             img[int(y1):int(y1 + h), int(x1):int(x1 + w)] = np.clip(color, 0, 255)
             boxes.append([x1, y1, x1 + w, y1 + h])
             cls.append(c)
-        return DetItem(img, np.asarray(boxes, np.float32),
+        item = DetItem(img, np.asarray(boxes, np.float32),
                        np.asarray(cls, np.float32), self.im_files[i],
                        (s, s)).asdict()
+        if self.task == "segment":
+            masks = np.zeros((n_obj, s, s), np.float32)
+            for j, (x1, y1, x2, y2) in enumerate(item["boxes"]):
+                masks[j, int(y1):int(y2), int(x1):int(x2)] = 1.0
+            item["masks"] = masks
+        elif self.task == "pose":
+            # 17-kpt layout (COCO shape): 3 visible anchors, rest invisible
+            k = np.zeros((n_obj, 17, 3), np.float32)
+            for j, (x1, y1, x2, y2) in enumerate(item["boxes"]):
+                k[j, 0] = [x1, y1, 2]
+                k[j, 1] = [(x1 + x2) / 2, (y1 + y2) / 2, 2]
+                k[j, 2] = [x2, y2, 2]
+            item["keypoints"] = k
+        return item

@@ -36,6 +36,18 @@ TASK_MAP: Dict[str, list] = {
 TASK_MAP["classify"] = _classify_entry()
 
 
+def _register_seg_pose():
+    from ..nn.tasks import PoseModel, SegmentationModel
+    from .trainer import PoseTrainer, SegmentationTrainer
+    TASK_MAP["segment"] = [SegmentationModel, SegmentationTrainer,
+                           DetectionValidator, DetectionPredictor]
+    TASK_MAP["pose"] = [PoseModel, PoseTrainer, DetectionValidator,
+                        DetectionPredictor]
+
+
+_register_seg_pose()
+
+
 class YOLO:
     """YOLO model facade (reference engine/model.py:32)."""
 

@@ -114,8 +114,16 @@ def build_optimizer(params, name: str, lr0: float, lrf: float, momentum: float,
     return tx
 
 
-def make_train_step(model, criterion: DetectionLoss, tx, ema_decay: float = 0.9999):
-    """Build the jitted train step: grads + update + EMA in one XLA program."""
+def make_train_step(model, criterion, tx, ema_decay: float = 0.9999,
+                    loss_call=None):
+    """Build the jitted train step: grads + update + EMA in one XLA program.
+
+    loss_call(criterion, head_out, batch, step) -> LossOutputs; the default
+    feeds the head's raw-feature element (out[1]) to a YOLO-style loss.
+    """
+    if loss_call is None:
+        def loss_call(crit, out, batch, step):
+            return crit(out[1], batch, step)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         img = batch["img"]
@@ -126,8 +134,7 @@ def make_train_step(model, criterion: DetectionLoss, tx, ema_decay: float = 0.99
             (out, updates) = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 img, train=True, mutable=["batch_stats"])
-            feats = out[1]
-            lo = criterion(feats, batch, state.step)
+            lo = loss_call(criterion, out, batch, state.step)
             return lo.total, (updates["batch_stats"], lo.parts)
 
         (loss, (new_bs, parts)), grads = jax.value_and_grad(
@@ -142,7 +149,10 @@ def make_train_step(model, criterion: DetectionLoss, tx, ema_decay: float = 0.99
         new_state = TrainState(params=new_params, batch_stats=new_bs,
                                opt_state=new_opt, ema_params=new_ema,
                                step=state.step + 1, ema_updates=n)
-        metrics = {"loss": loss, "box": parts[0], "cls": parts[1], "dfl": parts[2],
+        # parts layout per task: detect [box,cls,dfl], segment [box,seg,cls,dfl],
+        # pose [box,kpt,kobj,cls,dfl] — box is first, cls/dfl are last two
+        metrics = {"loss": loss, "box": parts[0], "cls": parts[-2],
+                   "dfl": parts[-1], "parts": parts,
                    "grad_norm": optax.global_norm(grads)}
         return new_state, metrics
 
@@ -186,15 +196,20 @@ class BaseTrainer(CallbackMixin):
         self.metrics = {}
 
     # ---- setup -----------------------------------------------------------
+    task = "detect"
+
     def get_dataset(self, train: bool = True):
         data = self.args.data
         if data in (None, "synthetic", "synthetic.yaml"):
             nc = self.model_holder.nc if self.model_holder else 2
             n = 64 if train else 16
+            imgsz = min(self.args.imgsz, 320)
+            if self.task in ("segment", "pose"):
+                imgsz = self.args.imgsz  # masks must match the train size
             return SyntheticDetectionDataset(
-                n=n, imgsz=min(self.args.imgsz, 320), nc=nc,
+                n=n, imgsz=imgsz, nc=nc,
                 seed=self.args.seed + (0 if train else 1),
-                augment=train, hyp=self.args)
+                augment=train, hyp=self.args, task=self.task)
         from ..utils import yaml_load
         d = yaml_load(data) if str(data).endswith((".yaml", ".yml")) else {"train": data, "val": data}
         split = d.get("train" if train else "val") or d.get("val")
@@ -225,9 +240,7 @@ class BaseTrainer(CallbackMixin):
         warmup_steps = max(round(args.warmup_epochs * nb), 100)
         total_steps = nb * args.epochs
 
-        criterion = DetectionLoss(mh.nc, mh.reg_max, mh.stride,
-                                  box_gain=args.box, cls_gain=args.cls,
-                                  dfl_gain=args.dfl)
+        criterion = self.get_criterion(mh)
         tx = build_optimizer(mh.params, args.optimizer, args.lr0, args.lrf,
                              args.momentum, args.weight_decay * args.batch / args.nbs,
                              warmup_steps, total_steps, nb, args.epochs,
@@ -261,7 +274,8 @@ class BaseTrainer(CallbackMixin):
             opt_state=replicate_tree(opt_state, mesh),
             ema_params=replicate_tree(ema0, mesh),
             step=jnp.int32(step0), ema_updates=jnp.int32(ema_updates0))
-        step_fn = make_train_step(mh.model, criterion, tx)
+        step_fn = make_train_step(mh.model, criterion, tx,
+                                  loss_call=self.get_loss_call())
 
         stopper = EarlyStopping(args.patience)
         self.run_callbacks("on_train_start")
@@ -374,5 +388,47 @@ class BaseTrainer(CallbackMixin):
                              for v in vals) + "\n")
 
 
+    def get_criterion(self, mh):
+        args = self.args
+        return DetectionLoss(mh.nc, mh.reg_max, mh.stride, box_gain=args.box,
+                             cls_gain=args.cls, dfl_gain=args.dfl)
+
+    def get_loss_call(self):
+        """Override to change how the head output feeds the criterion."""
+        return None  # default: criterion(out[1], batch, step)
+
+
 class DetectionTrainer(BaseTrainer):
     """Detect-task trainer (reference yolo/v8/detect/train.py:17-90)."""
+
+
+class SegmentationTrainer(DetectionTrainer):
+    """Segment-task trainer (reference yolo/v8/segment/train.py)."""
+
+    task = "segment"
+
+    def get_criterion(self, mh):
+        from ..utils.loss_seg_pose import SegmentationLoss
+        args = self.args
+        return SegmentationLoss(mh.nc, mh.reg_max, mh.stride, box_gain=args.box,
+                                cls_gain=args.cls, dfl_gain=args.dfl)
+
+    def validate(self, state):  # box-mAP validation of the detect branch
+        return {}
+
+
+class PoseTrainer(DetectionTrainer):
+    """Pose-task trainer (reference yolo/v8/pose/train.py)."""
+
+    task = "pose"
+
+    def get_criterion(self, mh):
+        from ..utils.loss_seg_pose import PoseLoss
+        args = self.args
+        kpt_shape = tuple(mh.yaml.get("kpt_shape", (17, 3)))
+        return PoseLoss(mh.nc, mh.reg_max, mh.stride, kpt_shape=kpt_shape,
+                        pose_gain=args.pose, kobj_gain=args.kobj,
+                        box_gain=args.box, cls_gain=args.cls, dfl_gain=args.dfl)
+
+    def validate(self, state):
+        return {}

@@ -1,0 +1,54 @@
+"""RT-DETR trainer: DetectionTrainer body with the DETR loss stack
+(reference vit/rtdetr/train.py:23-57 — no-mosaic dataset, gt preprocessing
+to normalized xywh).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ...engine.trainer import DetectionTrainer
+from ...ops.boxes import xyxy2xywh
+from ...utils.loss import LossOutputs
+from ..utils.loss import RTDETRDetectionLoss
+
+
+class _DETRCriterion:
+    """Adapts RTDETRDetectionLoss to the trainer's (out, batch, step) call.
+
+    Normalizes padded pixel-space gt boxes to xywh in [0,1] (the DETR target
+    convention) using the static train image size.
+    """
+
+    def __init__(self, nc: int, imgsz: int):
+        self.loss = RTDETRDetectionLoss(nc=nc)
+        self.imgsz = float(imgsz)
+
+    def __call__(self, head_out, batch, step) -> LossOutputs:
+        gt_norm = xyxy2xywh(batch["gt_bboxes"].astype(jnp.float32)) / self.imgsz
+        b = {"gt_bboxes_norm": gt_norm, "gt_labels": batch["gt_labels"],
+             "mask_gt": batch["mask_gt"]}
+        total, parts = self.loss(head_out, b)
+        bsz = batch["gt_labels"].shape[0]
+        main = jnp.stack([parts.get("loss_bbox", 0.0), parts.get("loss_class", 0.0),
+                          parts.get("loss_giou", 0.0)])
+        import jax
+        return LossOutputs(total * bsz, jax.lax.stop_gradient(main))
+
+
+class RTDETRTrainer(DetectionTrainer):
+    task = "detect"
+
+    def get_criterion(self, mh):
+        return _DETRCriterion(mh.nc, self.args.imgsz)
+
+    def get_loss_call(self):
+        # RTDETRDecoder returns (tuple4, None): feed the tuple to the loss
+        return lambda crit, out, batch, step: crit(out[0], batch, step)
+
+    def get_dataset(self, train: bool = True):
+        if train:  # reference disables mosaic for rt-detr (train.py:23-41)
+            self.args.mosaic = 0.0
+        return super().get_dataset(train)
+
+    def validate(self, state):
+        return {}  # query-based eval wiring lands with RTDETRValidator
