@@ -171,6 +171,17 @@ def mosaic4(items: List[Dict], imgsz: int, rng: Optional[random.Random] = None):
     return canvas, boxes, cls
 
 
+def mixup(item_a: Dict, item_b: Dict, rng: Optional[random.Random] = None) -> Dict:
+    """Beta(32, 32) image blend with label union (reference augment.py:270-287)."""
+    rng = rng or random
+    r = np.random.default_rng(rng.randrange(2 ** 31)).beta(32.0, 32.0)
+    img = (item_a["img"].astype(np.float32) * r +
+           item_b["img"].astype(np.float32) * (1 - r)).astype(np.uint8)
+    boxes = np.concatenate([item_a["boxes"], item_b["boxes"]])
+    cls = np.concatenate([item_a["cls"], item_b["cls"]])
+    return {"img": img, "boxes": boxes, "cls": cls}
+
+
 def train_transform(item: Dict, imgsz: int, hyp, buffer: List[Dict],
                     rng: Optional[random.Random] = None) -> Dict:
     """Full v8 train pipeline: mosaic -> affine -> HSV -> flips
@@ -193,6 +204,16 @@ def train_transform(item: Dict, imgsz: int, hyp, buffer: List[Dict],
         img, boxes, cls, degrees=hyp.degrees, translate=hyp.translate,
         scale=hyp.scale, shear=hyp.shear, perspective=hyp.perspective,
         border=border, rng=rng)
+    if buffer and rng.random() < getattr(hyp, "mixup", 0.0):
+        other = buffer[rng.randrange(len(buffer))]
+        o_img, r, (dw, dh) = letterbox(other["img"], img.shape[:2], scaleup=True)
+        o_boxes = other["boxes"].copy()
+        if len(o_boxes):
+            o_boxes[:, [0, 2]] = o_boxes[:, [0, 2]] * r[0] + dw
+            o_boxes[:, [1, 3]] = o_boxes[:, [1, 3]] * r[1] + dh
+        mixed = mixup({"img": img, "boxes": boxes, "cls": cls},
+                      {"img": o_img, "boxes": o_boxes, "cls": other["cls"]}, rng)
+        img, boxes, cls = mixed["img"], mixed["boxes"], mixed["cls"]
     img = augment_hsv(img, hyp.hsv_h, hyp.hsv_s, hyp.hsv_v, rng)
     h, w = img.shape[:2]
     if rng.random() < getattr(hyp, "flipud", 0.0):

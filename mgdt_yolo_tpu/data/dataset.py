@@ -51,11 +51,14 @@ class YOLODataset:
     """Scans an images dir + YOLO txt labels (class cx cy w h, normalized)."""
 
     def __init__(self, img_dir: str, imgsz: int = 640, augment: bool = False,
-                 hyp=None, fraction: float = 1.0, single_cls: bool = False):
+                 hyp=None, fraction: float = 1.0, single_cls: bool = False,
+                 cache: bool | str = False):
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = hyp
         self.single_cls = single_cls
+        self.cache = cache  # 'ram' keeps decoded images resident
+        self._ram: Dict[int, np.ndarray] = {}
         root = Path(img_dir)
         files = sorted(str(p) for p in root.rglob("*") if p.suffix[1:].lower() in IMG_FORMATS)
         if fraction < 1.0:
@@ -86,7 +89,12 @@ class YOLODataset:
         return max((len(l) for l in self.labels), default=0)
 
     def __getitem__(self, i: int) -> Dict:
-        img = cv2.imread(self.im_files[i])
+        if self.cache in (True, "ram") and i in self._ram:
+            img = self._ram[i]
+        else:
+            img = cv2.imread(self.im_files[i])
+            if self.cache in (True, "ram"):
+                self._ram[i] = img
         h, w = img.shape[:2]
         lab = self.labels[i]
         cls = lab[:, 0].copy()

@@ -57,9 +57,11 @@ class DetectionValidator(BaseValidator):
             if jnp.issubdtype(img.dtype, jnp.integer):
                 img = img.astype(jnp.float32) / 255.0
             decoded, _ = model_holder.model.apply(vs, img, train=False)
+            # nc explicitly: segment/pose decodes append mask/kpt channels
             return non_max_suppression(decoded, conf_thres=conf, iou_thres=args.iou,
                                        max_det=args.max_det, multi_label=True,
-                                       agnostic=args.agnostic_nms)
+                                       agnostic=args.agnostic_nms,
+                                       nc=model_holder.nc)
 
         metrics = DetMetrics()
         cm = ConfusionMatrix(model_holder.nc)
