@@ -204,7 +204,9 @@ def train_transform(item: Dict, imgsz: int, hyp, buffer: List[Dict],
         img, boxes, cls, degrees=hyp.degrees, translate=hyp.translate,
         scale=hyp.scale, shear=hyp.shear, perspective=hyp.perspective,
         border=border, rng=rng)
-    if buffer and rng.random() < getattr(hyp, "mixup", 0.0):
+    # draw unconditionally so the rng stream is independent of buffer state
+    use_mixup = rng.random() < getattr(hyp, "mixup", 0.0)
+    if use_mixup and buffer:
         other = buffer[rng.randrange(len(buffer))]
         o_img, r, (dw, dh) = letterbox(other["img"], img.shape[:2], scaleup=True)
         o_boxes = other["boxes"].copy()

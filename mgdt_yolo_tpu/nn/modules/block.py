@@ -392,11 +392,15 @@ class MSPA_C2f(nn.Module):
         fused = Conv(self.c2, 1, 1, dtype=self.dtype, name=f"convs_{nums - 1}")(fused, train)
 
         b, h, w, _ = fused.shape
-        groups = jnp.split(fused, nums, axis=-1)  # each (b,h,w,outw)
+        # one SPR call over all groups: weights are shared and pooling is
+        # per-sample, so folding groups into the batch axis is exact while
+        # replacing 4 tiny conv chains with one 4x-larger one
+        feats = fused.reshape(b, h, w, nums, outw)
+        stacked = jnp.transpose(feats, (0, 3, 1, 2, 4)).reshape(b * nums, h, w, outw)
         attn = SPRModule(outw, dtype=self.dtype, name="attention")
-        weights = jnp.stack([attn(g_, train) for g_ in groups], axis=3)  # (b,1,1,nums,outw)
+        weights = attn(stacked, train).reshape(b, nums, 1, 1, outw)
+        weights = jnp.transpose(weights, (0, 2, 3, 1, 4))  # (b,1,1,nums,outw)
         weights = jax.nn.softmax(weights.astype(jnp.float32), axis=3).astype(fused.dtype)
-        feats = jnp.stack(groups, axis=3)  # (b,h,w,nums,outw)
         out = feats * weights
         return out.reshape(b, h, w, nums * outw)
 

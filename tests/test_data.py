@@ -1,0 +1,102 @@
+"""Data pipeline unit tests: letterbox parity, collate padding, task planes,
+mixup, loaders determinism."""
+import numpy as np
+import pytest
+
+from mgdt_yolo_tpu.cfg import get_cfg
+from mgdt_yolo_tpu.data.augment import letterbox, mixup, train_transform
+from mgdt_yolo_tpu.data.build import DataLoader, collate
+from mgdt_yolo_tpu.data.dataset import SyntheticDetectionDataset
+
+
+class TestLetterbox:
+    def test_square_pads_shorter_side(self, rng):
+        img = rng.integers(0, 255, (100, 200, 3), dtype=np.uint8)
+        out, ratio, (dw, dh) = letterbox(img, (128, 128))
+        assert out.shape == (128, 128, 3)
+        assert ratio[0] == pytest.approx(128 / 200)
+        assert dh == pytest.approx((128 - 100 * 128 / 200) / 2)
+        # pad rows are the 114 fill
+        assert (out[0] == 114).all()
+
+    def test_no_scaleup(self, rng):
+        img = rng.integers(0, 255, (50, 50, 3), dtype=np.uint8)
+        out, ratio, _ = letterbox(img, (128, 128), scaleup=False)
+        assert ratio == (1.0, 1.0)
+        assert out.shape == (128, 128, 3)
+
+
+class TestCollate:
+    def test_padded_targets(self):
+        ds = SyntheticDetectionDataset(n=4, imgsz=96, nc=2, seed=0)
+        batch = collate([ds[i] for i in range(4)], 96, 8, train=True)
+        assert batch["img"].shape == (4, 96, 96, 3)
+        assert batch["img"].dtype == np.uint8
+        assert batch["gt_bboxes"].shape == (4, 8, 4)
+        assert (batch["mask_gt"].sum(1) >= 1).all()
+
+    def test_segment_masks_plane(self):
+        ds = SyntheticDetectionDataset(n=2, imgsz=96, nc=2, seed=0,
+                                       task="segment")
+        batch = collate([ds[0], ds[1]], 96, 8, train=True)
+        assert batch["masks"].shape == (2, 8, 24, 24)
+        # mask energy only on valid gt rows
+        assert batch["masks"][0][~batch["mask_gt"][0]].sum() == 0
+
+    def test_pose_keypoints_plane(self):
+        ds = SyntheticDetectionDataset(n=2, imgsz=96, nc=2, seed=0, task="pose")
+        batch = collate([ds[0], ds[1]], 96, 8, train=True)
+        assert batch["keypoints"].shape == (2, 8, 17, 3)
+        n0 = int(batch["mask_gt"][0].sum())
+        assert (batch["keypoints"][0, :n0, 1, 2] == 2).all()  # center visible
+
+
+class TestAugment:
+    def test_mixup_unions_labels(self, rng):
+        a = {"img": rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
+             "boxes": np.array([[0, 0, 10, 10]], np.float32),
+             "cls": np.array([0.0])}
+        b = {"img": rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
+             "boxes": np.array([[20, 20, 40, 40]], np.float32),
+             "cls": np.array([1.0])}
+        m = mixup(a, b)
+        assert len(m["boxes"]) == 2 and set(m["cls"]) == {0.0, 1.0}
+
+    def test_train_transform_shapes(self, rng):
+        ds = SyntheticDetectionDataset(n=8, imgsz=96, nc=2, seed=1)
+        hyp = get_cfg(overrides={"mosaic": 1.0, "fliplr": 0.5})
+        import random
+        r = random.Random(0)
+        buf = [ds[i] for i in range(4)]
+        out = train_transform(ds[4], 96, hyp, buf, r)
+        assert out["img"].shape == (96, 96, 3)
+        assert len(out["boxes"]) == len(out["cls"])
+
+
+class TestLoader:
+    def test_epoch_determinism(self):
+        ds = SyntheticDetectionDataset(n=8, imgsz=64, nc=2, seed=0)
+        hyp = get_cfg(overrides={"mosaic": 0.0})
+        a = DataLoader(ds, 4, 64, train=True, hyp=hyp, seed=7)
+        b = DataLoader(ds, 4, 64, train=True, hyp=hyp, seed=7)
+        a.set_epoch(3)
+        b.set_epoch(3)
+        ba = next(iter(a))
+        bb = next(iter(b))
+        np.testing.assert_array_equal(ba["img"], bb["img"])
+        np.testing.assert_array_equal(ba["gt_bboxes"], bb["gt_bboxes"])
+
+    def test_ram_cache_roundtrip(self, tmp_path, rng):
+        import cv2
+        from mgdt_yolo_tpu.data.dataset import YOLODataset
+        (tmp_path / "images").mkdir()
+        (tmp_path / "labels").mkdir()
+        for i in range(3):
+            cv2.imwrite(str(tmp_path / "images" / f"{i}.jpg"),
+                        rng.integers(0, 255, (48, 48, 3), dtype=np.uint8))
+            (tmp_path / "labels" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+        ds = YOLODataset(str(tmp_path / "images"), cache="ram")
+        a = ds[1]["img"]
+        b = ds[1]["img"]  # second read hits the RAM cache
+        np.testing.assert_array_equal(a, b)
+        assert len(ds._ram) == 1
