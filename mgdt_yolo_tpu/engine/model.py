@@ -39,9 +39,10 @@ TASK_MAP["classify"] = _classify_entry()
 def _register_seg_pose():
     from ..nn.tasks import PoseModel, SegmentationModel
     from .trainer import PoseTrainer, SegmentationTrainer
+    from .validator_seg_pose import PoseValidator, SegmentationValidator
     TASK_MAP["segment"] = [SegmentationModel, SegmentationTrainer,
-                           DetectionValidator, DetectionPredictor]
-    TASK_MAP["pose"] = [PoseModel, PoseTrainer, DetectionValidator,
+                           SegmentationValidator, DetectionPredictor]
+    TASK_MAP["pose"] = [PoseModel, PoseTrainer, PoseValidator,
                         DetectionPredictor]
 
 

@@ -413,8 +413,13 @@ class SegmentationTrainer(DetectionTrainer):
         return SegmentationLoss(mh.nc, mh.reg_max, mh.stride, box_gain=args.box,
                                 cls_gain=args.cls, dfl_gain=args.dfl)
 
-    def validate(self, state):  # box-mAP validation of the detect branch
-        return {}
+    def validate(self, state):
+        from .validator_seg_pose import SegmentationValidator
+        validator = SegmentationValidator(args=self.args)
+        variables = {"params": jax.device_get(state.ema_params),
+                     "batch_stats": jax.device_get(state.batch_stats)}
+        return validator(self.model_holder, variables,
+                         dataset=self.get_dataset(train=False))
 
 
 class PoseTrainer(DetectionTrainer):
@@ -431,4 +436,9 @@ class PoseTrainer(DetectionTrainer):
                         box_gain=args.box, cls_gain=args.cls, dfl_gain=args.dfl)
 
     def validate(self, state):
-        return {}
+        from .validator_seg_pose import PoseValidator
+        validator = PoseValidator(args=self.args)
+        variables = {"params": jax.device_get(state.ema_params),
+                     "batch_stats": jax.device_get(state.batch_stats)}
+        return validator(self.model_holder, variables,
+                         dataset=self.get_dataset(train=False))

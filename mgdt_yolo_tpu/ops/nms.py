@@ -149,20 +149,26 @@ def nms_single_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
     det = jnp.concatenate([cand_boxes[top_idx], conf[top_idx, None],
                            cls[top_idx, None]], axis=-1)
     det = jnp.where(ok[:, None], det, 0.0)
-    return det, ok.sum().astype(jnp.int32)
+    kept_anchor = jnp.where(ok, anchor_idx[top_idx], -1).astype(jnp.int32)
+    return det, ok.sum().astype(jnp.int32), kept_anchor
 
 
 def non_max_suppression(prediction: jnp.ndarray, conf_thres: float = 0.25,
                         iou_thres: float = 0.45, agnostic: bool = False,
                         multi_label: bool = False, max_det: int = 300,
-                        pre_topk: int = 4096, nc: int | None = None):
+                        pre_topk: int = 4096, nc: int | None = None,
+                        return_idx: bool = False):
     """Batched NMS over raw head output.
 
     Args:
         prediction: (B, 4 + nc, A) — xywh boxes then class scores, the eval-path
-            head layout (reference head.py:165-177).
+            head layout (reference head.py:165-177). Channels past 4+nc (mask
+            coefficients / keypoints) are ignored here; use return_idx to
+            re-associate them with the kept detections.
     Returns:
-        det: (B, max_det, 6), counts: (B,) int32.
+        det: (B, max_det, 6), counts: (B,) int32
+        [, anchor_idx (B, max_det) int32 when return_idx — source anchor of
+         each kept row, -1 padding].
     """
     pred = jnp.transpose(prediction, (0, 2, 1))  # (B, A, 4+nc)
     nc = nc or (pred.shape[-1] - 4)
@@ -171,4 +177,7 @@ def non_max_suppression(prediction: jnp.ndarray, conf_thres: float = 0.25,
     fn = partial(nms_single_fixpoint, conf_thres=conf_thres, iou_thres=iou_thres,
                  max_det=max_det, pre_topk=pre_topk, multi_label=multi_label,
                  agnostic=agnostic)
-    return jax.vmap(fn)(boxes, scores)
+    det, counts, idx = jax.vmap(fn)(boxes, scores)
+    if return_idx:
+        return det, counts, idx
+    return det, counts

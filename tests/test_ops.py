@@ -152,9 +152,9 @@ class TestNMS:
             a, na = ops.nms_single(jnp.asarray(boxes), jnp.asarray(scores),
                                    conf_thres=0.1, iou_thres=0.5, max_det=100,
                                    pre_topk=512)
-            b, nb = ops.nms_single_fixpoint(jnp.asarray(boxes), jnp.asarray(scores),
-                                            conf_thres=0.1, iou_thres=0.5,
-                                            max_det=100, pre_topk=512)
+            b, nb, _ = ops.nms_single_fixpoint(jnp.asarray(boxes), jnp.asarray(scores),
+                                               conf_thres=0.1, iou_thres=0.5,
+                                               max_det=100, pre_topk=512)
             assert int(na) == int(nb)
             np.testing.assert_allclose(np.asarray(a[:int(na)]),
                                        np.asarray(b[:int(nb)]), atol=1e-5)
