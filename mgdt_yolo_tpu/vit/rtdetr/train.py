@@ -51,4 +51,10 @@ class RTDETRTrainer(DetectionTrainer):
         return super().get_dataset(train)
 
     def validate(self, state):
-        return {}  # query-based eval wiring lands with RTDETRValidator
+        import jax
+        from .val import RTDETRValidator
+        validator = RTDETRValidator(args=self.args)
+        variables = {"params": jax.device_get(state.ema_params),
+                     "batch_stats": jax.device_get(state.batch_stats)}
+        return validator(self.model_holder, variables,
+                         dataset=self.get_dataset(train=False))

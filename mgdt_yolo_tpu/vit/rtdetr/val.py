@@ -1,10 +1,18 @@
-"""RT-DETR validation helpers: square letterbox + no-NMS postprocess
-(reference vit/rtdetr/val.py:49-106)."""
+"""RT-DETR validation: square letterbox transforms + no-NMS query
+postprocess + mAP accumulation (reference vit/rtdetr/val.py:19-106).
+"""
 from __future__ import annotations
 
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
+from ...cfg import get_cfg
 from ...data.augment import letterbox
+from ...utils import LOGGER
+from ...utils.metrics import DetMetrics, match_predictions
 
 
 def square_letterbox(img: np.ndarray, imgsz: int):
@@ -24,3 +32,55 @@ def postprocess_queries(bboxes_norm: np.ndarray, scores: np.ndarray,
     keep = val > conf
     return np.concatenate([bb[keep], val[keep, None],
                            cls[keep, None].astype(np.float32)], axis=1)
+
+
+class RTDETRValidator:
+    """mAP over the decoder's final-layer queries — DETR models skip NMS."""
+
+    def __init__(self, args=None):
+        self.args = args if args is not None and hasattr(args, "imgsz") \
+            else get_cfg(args)
+        self.iouv = np.linspace(0.5, 0.95, 10)
+
+    def __call__(self, model_holder, variables=None, dataset=None,
+                 max_batches: Optional[int] = None) -> Dict[str, float]:
+        args = self.args
+        variables = variables or model_holder.variables
+        conf = args.conf if args.conf else 0.001
+        from ...data.build import build_dataloader
+        if dataset is None:
+            from ...engine.trainer import BaseTrainer
+            t = BaseTrainer(overrides={**vars(args), "mode": "val"})
+            t.model_holder = model_holder
+            dataset = t.get_dataset(train=False)
+        loader = build_dataloader(dataset, args.batch, args.imgsz, train=False,
+                                  seed=args.seed)
+
+        @jax.jit
+        def infer(vs, img):
+            if jnp.issubdtype(img.dtype, jnp.integer):
+                img = img.astype(jnp.float32) / 255.0
+            (out, _) = model_holder.model.apply(vs, img, train=False)
+            dec_bboxes, dec_scores, _, _ = out
+            return dec_bboxes[-1], dec_scores[-1]
+
+        metrics = DetMetrics()
+        n_img = 0
+        for bi, batch in enumerate(loader):
+            if max_batches and bi >= max_batches:
+                break
+            bboxes, scores = jax.device_get(infer(variables, batch["img"]))
+            for j in range(len(bboxes)):
+                det = postprocess_queries(bboxes[j], np.asarray(scores[j]), conf)
+                det[:, :4] *= args.imgsz  # normalized -> letterboxed pixels
+                gm = batch["mask_gt"][j]
+                gt_boxes = np.asarray(batch["gt_bboxes"][j][gm])
+                gt_cls = np.asarray(batch["gt_labels"][j][gm]).astype(float)
+                tp = match_predictions(det[:, :4], det[:, 5], gt_boxes, gt_cls,
+                                       self.iouv)
+                metrics.update(tp, det[:, 4], det[:, 5], gt_cls)
+                n_img += 1
+        res = metrics.process()
+        LOGGER.info(f"rtdetr val: {n_img} imgs  mAP50 {res['map50']:.3f} "
+                    f"mAP50-95 {res['map']:.3f}")
+        return res
