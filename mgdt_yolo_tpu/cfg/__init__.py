@@ -123,4 +123,11 @@ def entrypoint(argv=None):
         overrides["task"] = task
     from ..engine.model import YOLO
     model = YOLO(overrides.pop("model", None) or "yolov8n.yaml")
-    getattr(model, mode)(**overrides)
+    out = getattr(model, mode)(**overrides)
+    if mode == "predict" and isinstance(out, list):
+        for r in out:
+            LOGGER.info(f"{r.path}: {len(r)} detections {r.counts()} "
+                        f"({r.speed['inference']:.1f} ms inference)")
+    elif isinstance(out, dict):
+        LOGGER.info(str(out))
+    return out
