@@ -405,6 +405,13 @@ class DetectionModel(BaseModel):
                     tgt[f"cv3_{i}_2"]["bias"] = np.full_like(
                         tgt[f"cv3_{i}_2"]["bias"], math.log(5 / self.nc / (640 / s) ** 2))
 
+    def fuse(self):
+        """Fold Conv+BN for deployment (reference BaseModel.fuse,
+        tasks.py:121-146); eval outputs are unchanged."""
+        from .fuse import fuse_conv_bn
+        self.variables, _ = fuse_conv_bn(self.variables)
+        return self
+
     # ---- forward helpers -------------------------------------------------
     def apply(self, variables, x, train: bool = False, mutable=None):
         if mutable is None:
