@@ -115,11 +115,13 @@ def build_optimizer(params, name: str, lr0: float, lrf: float, momentum: float,
 
 
 def make_train_step(model, criterion, tx, ema_decay: float = 0.9999,
-                    loss_call=None):
+                    loss_call=None, model_kwargs_fn=None):
     """Build the jitted train step: grads + update + EMA in one XLA program.
 
     loss_call(criterion, head_out, batch, step) -> LossOutputs; the default
     feeds the head's raw-feature element (out[1]) to a YOLO-style loss.
+    model_kwargs_fn(batch, step) -> extra kwargs for model.apply (e.g.
+    RT-DETR's denoising targets threaded to the head).
     """
     if loss_call is None:
         def loss_call(crit, out, batch, step):
@@ -129,11 +131,12 @@ def make_train_step(model, criterion, tx, ema_decay: float = 0.9999,
         img = batch["img"]
         if jnp.issubdtype(img.dtype, jnp.integer):  # uint8 ingest path
             img = img.astype(jnp.float32) / 255.0
+        extra = model_kwargs_fn(batch, state.step) if model_kwargs_fn else {}
 
         def loss_fn(params):
             (out, updates) = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                img, train=True, mutable=["batch_stats"])
+                img, train=True, mutable=["batch_stats"], **extra)
             lo = loss_call(criterion, out, batch, state.step)
             return lo.total, (updates["batch_stats"], lo.parts)
 
@@ -210,12 +213,15 @@ class BaseTrainer(CallbackMixin):
                 n=n, imgsz=imgsz, nc=nc,
                 seed=self.args.seed + (0 if train else 1),
                 augment=train, hyp=self.args, task=self.task)
-        from ..utils import yaml_load
-        d = yaml_load(data) if str(data).endswith((".yaml", ".yml")) else {"train": data, "val": data}
-        split = d.get("train" if train else "val") or d.get("val")
-        root = Path(d.get("path", ".")) / split if d.get("path") else Path(split)
-        return YOLODataset(str(root), imgsz=self.args.imgsz, augment=train,
-                           hyp=self.args)
+        from ..data.utils import check_det_dataset
+        d = check_det_dataset(data)
+        split = d.get("train" if train else "val") or d.get("val") or d.get("train")
+        if self.model_holder is not None and d.get("names"):
+            self.model_holder.names = d["names"]
+        return YOLODataset(str(split), imgsz=self.args.imgsz, augment=train,
+                           hyp=self.args, cache=self.args.cache,
+                           single_cls=self.args.single_cls,
+                           fraction=self.args.fraction if train else 1.0)
 
     def setup_model(self):
         if self.model_holder is None:
@@ -275,7 +281,8 @@ class BaseTrainer(CallbackMixin):
             ema_params=replicate_tree(ema0, mesh),
             step=jnp.int32(step0), ema_updates=jnp.int32(ema_updates0))
         step_fn = make_train_step(mh.model, criterion, tx,
-                                  loss_call=self.get_loss_call())
+                                  loss_call=self.get_loss_call(),
+                                  model_kwargs_fn=self.get_model_kwargs_fn())
 
         stopper = EarlyStopping(args.patience)
         self.run_callbacks("on_train_start")
@@ -396,6 +403,10 @@ class BaseTrainer(CallbackMixin):
     def get_loss_call(self):
         """Override to change how the head output feeds the criterion."""
         return None  # default: criterion(out[1], batch, step)
+
+    def get_model_kwargs_fn(self):
+        """Override to thread extra (traced) kwargs into model.apply."""
+        return None
 
 
 class DetectionTrainer(BaseTrainer):

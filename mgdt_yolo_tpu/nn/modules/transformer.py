@@ -325,12 +325,15 @@ class RTDETRDecoder(nn.Module):
     ndl: int = 6
     d_ffn: int = 1024
     eval_idx: int = -1
+    num_denoising: int = 100
+    label_noise_ratio: float = 0.5
+    box_noise_scale: float = 1.0
     strides: Optional[Tuple[int, ...]] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False,
-                 dn_embed=None, dn_bbox=None, attn_mask=None):
+                 dn=None, dn_embed=None, dn_bbox=None, attn_mask=None):
         nl = len(self.ch)
         b = xs[0].shape[0]
         # input projection: 1x1 conv + BN per level
@@ -361,6 +364,21 @@ class RTDETRDecoder(nn.Module):
         enc_bbox_delta = MLP(self.hd, 4, 3, dtype=self.dtype,
                              name="enc_bbox_head")(features)
         enc_bboxes_all = enc_bbox_delta + anchors
+
+        # contrastive denoising group (reference get_cdn_group, built in-graph
+        # from the padded gt batch when training with dn targets)
+        class_embed = self.param("denoising_class_embed",
+                                 nn.initializers.normal(1.0),
+                                 (self.nc, self.hd))
+        dn_meta = None
+        if train and dn is not None:
+            from ...vit.utils.ops import get_cdn_group
+            dn_embed, dn_bbox, attn_mask, dn_meta = get_cdn_group(
+                dn["gt_labels"], dn["gt_bboxes_norm"], dn["mask_gt"],
+                self.nc, min(self.nq, feats.shape[1]),
+                class_embed.astype(self.dtype), self.num_denoising,
+                self.label_noise_ratio, self.box_noise_scale,
+                key=dn.get("key"))
 
         nq = min(self.nq, feats.shape[1])  # fewer anchors than queries at tiny sizes
         topk_val, topk_ind = jax.lax.top_k(
@@ -416,7 +434,7 @@ class RTDETRDecoder(nn.Module):
         dec_cls = jnp.stack(dec_cls)
         if not train:
             dec_cls = jax.nn.sigmoid(dec_cls)
-        return (dec_bboxes, dec_cls, enc_bboxes, enc_scores), None
+        return (dec_bboxes, dec_cls, enc_bboxes, enc_scores, dn_meta), None
 
     def _generate_anchors(self, shapes, dtype, grid_size: float = 0.05,
                           eps: float = 1e-2):

@@ -272,9 +272,10 @@ class GraphModel(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, head_kwargs=None):
         saved = {}
         out = x.astype(self.dtype)
+        last = self.specs[-1].i
         for spec in self.specs:
             mod = build_module(spec, self.dtype, self.strides)
             if spec.f == -1:
@@ -283,12 +284,13 @@ class GraphModel(nn.Module):
                 inp = saved[spec.f]
             else:
                 inp = [out if j == -1 else saved[j] for j in spec.f]
+            kw = head_kwargs if (head_kwargs and spec.i == last) else {}
             if spec.n > 1:  # sequential repeat (rare: only non-CSP modules)
                 for _ in range(spec.n):
                     inp = mod(inp, train=train)
                 out = inp
             else:
-                out = mod(inp, train=train)
+                out = mod(inp, train=train, **kw)
             if spec.i in self.save:
                 saved[spec.i] = out
         return out

@@ -21,7 +21,7 @@ class RTDETRPredictor(BasePredictor):
         @jax.jit
         def infer(vs, img):
             (out, _) = model_holder.model.apply(vs, img, train=False)
-            dec_bboxes, dec_scores, _, _ = out
+            dec_bboxes, dec_scores = out[0], out[1]
             return dec_bboxes[-1], dec_scores[-1]  # final layer (b, nq, ...)
         self._infer = infer
 

@@ -27,7 +27,8 @@ class _DETRCriterion:
         gt_norm = xyxy2xywh(batch["gt_bboxes"].astype(jnp.float32)) / self.imgsz
         b = {"gt_bboxes_norm": gt_norm, "gt_labels": batch["gt_labels"],
              "mask_gt": batch["mask_gt"]}
-        total, parts = self.loss(head_out, b)
+        dn_meta = head_out[4] if len(head_out) > 4 else None
+        total, parts = self.loss(head_out[:4], b, dn_meta=dn_meta)
         bsz = batch["gt_labels"].shape[0]
         main = jnp.stack([parts.get("loss_bbox", 0.0), parts.get("loss_class", 0.0),
                           parts.get("loss_giou", 0.0)])
@@ -42,8 +43,22 @@ class RTDETRTrainer(DetectionTrainer):
         return _DETRCriterion(mh.nc, self.args.imgsz)
 
     def get_loss_call(self):
-        # RTDETRDecoder returns (tuple4, None): feed the tuple to the loss
+        # RTDETRDecoder returns (tuple5, None): feed the tuple to the loss
         return lambda crit, out, batch, step: crit(out[0], batch, step)
+
+    def get_model_kwargs_fn(self):
+        """Thread denoising targets into the decoder head (train only)."""
+        imgsz = float(self.args.imgsz)
+
+        def fn(batch, step):
+            import jax
+            gt_norm = xyxy2xywh(batch["gt_bboxes"].astype(jnp.float32)) / imgsz
+            dn = {"gt_labels": batch["gt_labels"], "gt_bboxes_norm": gt_norm,
+                  "mask_gt": batch["mask_gt"], "key": jax.random.PRNGKey(0)}
+            # fold the step into the noise key so each batch gets fresh noise
+            dn["key"] = jax.random.fold_in(dn["key"], step)
+            return {"head_kwargs": {"dn": dn}}
+        return fn
 
     def get_dataset(self, train: bool = True):
         if train:  # reference disables mosaic for rt-detr (train.py:23-41)

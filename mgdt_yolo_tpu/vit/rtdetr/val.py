@@ -61,7 +61,7 @@ class RTDETRValidator:
             if jnp.issubdtype(img.dtype, jnp.integer):
                 img = img.astype(jnp.float32) / 255.0
             (out, _) = model_holder.model.apply(vs, img, train=False)
-            dec_bboxes, dec_scores, _, _ = out
+            dec_bboxes, dec_scores = out[0], out[1]
             return dec_bboxes[-1], dec_scores[-1]
 
         metrics = DetMetrics()
