@@ -144,19 +144,24 @@ def nms_single_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
 
     # compact survivors into fixed (max_det, 6)
     order = jnp.where(keep, conf, -1.0)
-    top_conf, top_idx = jax.lax.top_k(order, max_det)
+    top_conf, top_idx = jax.lax.top_k(order, min(max_det, k))
     ok = top_conf > 0.0
     det = jnp.concatenate([cand_boxes[top_idx], conf[top_idx, None],
                            cls[top_idx, None]], axis=-1)
     det = jnp.where(ok[:, None], det, 0.0)
     kept_anchor = jnp.where(ok, anchor_idx[top_idx], -1).astype(jnp.int32)
+    if k < max_det:  # fewer candidates than the output slot count: pad rows
+        det = jnp.concatenate(
+            [det, jnp.zeros((max_det - k, 6), det.dtype)], axis=0)
+        kept_anchor = jnp.concatenate(
+            [kept_anchor, jnp.full((max_det - k,), -1, jnp.int32)], axis=0)
     return det, ok.sum().astype(jnp.int32), kept_anchor
 
 
 def non_max_suppression(prediction: jnp.ndarray, conf_thres: float = 0.25,
                         iou_thres: float = 0.45, agnostic: bool = False,
                         multi_label: bool = False, max_det: int = 300,
-                        pre_topk: int = 4096, nc: int | None = None,
+                        pre_topk: int = 1024, nc: int | None = None,
                         return_idx: bool = False):
     """Batched NMS over raw head output.
 
