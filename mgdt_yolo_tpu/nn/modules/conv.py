@@ -55,7 +55,9 @@ def torch_conv_init(key, shape, dtype=jnp.float32):
     """
     import jax
     fan_in = shape[0] * shape[1] * shape[2]
-    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+    # torch kaiming_uniform_(a=sqrt(5)): gain=sqrt(2/(1+5))=sqrt(1/3),
+    # bound = gain*sqrt(3/fan_in) = sqrt(1/fan_in)
+    bound = math.sqrt(1.0 / fan_in)
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 

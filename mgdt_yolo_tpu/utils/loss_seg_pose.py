@@ -99,7 +99,12 @@ class SegmentationLoss(DetectionLoss):
                 (yy < mxy[..., 3].reshape(b, K, 1, 1)))
         bce = _bce_logits(pred_m, tgt_m) * crop
         per_anchor = bce.mean(axis=(2, 3)) / area  # (b, K)
-        loss_seg = (per_anchor * sel_fg).sum() / jnp.maximum(sel_fg.sum(), 1)
+        # reference sums per-image means (loss[1] += single_mask_loss per image,
+        # loss.py:283-284,296): mean over each image's fg anchors, then sum
+        # over images; images with no fg contribute 0.
+        n_fg = sel_fg.sum(axis=1)  # (b,)
+        per_image = (per_anchor * sel_fg).sum(axis=1) / jnp.maximum(n_fg, 1)
+        loss_seg = jnp.where(n_fg > 0, per_image, 0.0).sum()
 
         bg, cg, dg = self.gains
         parts = jnp.stack([loss_box * bg, loss_seg * bg / b, loss_cls * cg,
@@ -174,17 +179,29 @@ class PoseLoss(DetectionLoss):
         area = jnp.clip(xyxy2xywh(target_bboxes)[..., 2:].prod(-1), 1e-4, None)
         d2 = ((pk_xy - sel_xy) ** 2).sum(-1)  # (b, A, nk)
         e = d2 / (2 * self.sigmas[None, None]) ** 2 / (area[..., None] + 1e-9) / 2
-        kpt_factor = vis.sum() / jnp.maximum((vis > 0).sum(), 1)
-        loss_kpt = (((1 - jnp.exp(-e)) * vis).mean(-1) * fg).sum() / \
-            jnp.maximum(fg.sum(), 1) * kpt_factor
+        # Reference accumulates KeypointLoss per image (loss.py:374):
+        #   factor_i = total_kpt_elems_i / (visible_i + 1e-9)   [loss.py:101]
+        #   loss_kpt_i = factor_i * mean over (n_fg_i, nk) of (1-exp(-e))*vis
+        # then sums over images. kobj is the per-image BCE mean, summed.
+        fg_f = fg.astype(jnp.float32)
+        n_fg = fg_f.sum(axis=1)                      # (b,) fg anchors per image
+        total_i = n_fg * nk                          # kpt elements per image
+        visible_i = (vis * fg_f[..., None]).sum(axis=(1, 2))
+        factor_i = total_i / (visible_i + 1e-9)
+        sum_elems = ((1 - jnp.exp(-e)) * vis * fg_f[..., None]).sum(axis=(1, 2))
+        mean_i = sum_elems / jnp.maximum(total_i, 1.0)
+        loss_kpt = jnp.where(n_fg > 0, factor_i * mean_i, 0.0).sum()
         if kdim == 3:
-            loss_kobj = (_bce_logits(k[..., 2], vis).mean(-1) * fg).sum() / \
-                jnp.maximum(fg.sum(), 1)
+            bce_k = (_bce_logits(k[..., 2], vis) * fg_f[..., None]).sum(axis=(1, 2))
+            loss_kobj = jnp.where(n_fg > 0,
+                                  bce_k / jnp.maximum(total_i, 1.0), 0.0).sum()
         else:
             loss_kobj = jnp.zeros(())
 
         bg, cg, dg = self.gains
-        parts = jnp.stack([loss_box * bg, loss_kpt * self.pose_gain,
-                           loss_kobj * self.kobj_gain, loss_cls * cg,
+        # pose/kobj gains carry the reference's /batch_size (loss.py:380-381);
+        # the trailing * b in the total restores the per-image sum scale.
+        parts = jnp.stack([loss_box * bg, loss_kpt * self.pose_gain / b,
+                           loss_kobj * self.kobj_gain / b, loss_cls * cg,
                            loss_dfl * dg])
         return LossOutputs(parts.sum() * b, jax.lax.stop_gradient(parts))

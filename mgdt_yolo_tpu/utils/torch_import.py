@@ -30,6 +30,14 @@ def _linear_w(a: np.ndarray) -> np.ndarray:
     return np.transpose(a, (1, 0))
 
 
+def _convT_w(a: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (in, out, kh, kw) -> flax ConvTranspose
+    (kh, kw, in, out) with SPATIALLY FLIPPED taps: flax's fractionally-
+    strided formulation correlates where torch's deconv convolves
+    (verified numerically against nn.ConvTranspose2d)."""
+    return np.transpose(a, (2, 3, 0, 1))[::-1, ::-1].copy()
+
+
 # leaf-name mapping inside a Conv(+BN) block
 _CONV_LEAVES = {
     "conv.weight": (("conv", "kernel"), _conv_w, "params"),
@@ -84,6 +92,13 @@ def translate_key(tkey: str) -> Tuple[Tuple[str, ...], object, str] | None:
     # ---- leaf handling ----
     tail2 = ".".join(parts[-2:])
     head = parts[:-2]
+
+    # ConvTranspose2d weights need the IOHW->HWIO + spatial-flip mapping
+    # (Proto.upsample, ConvTranspose.conv_transpose)
+    if tail2 in ("upsample.weight", "conv_transpose.weight"):
+        return tuple(head) + (parts[-2], "kernel"), _convT_w, "params"
+    if tail2 in ("upsample.bias", "conv_transpose.bias"):
+        return tuple(head) + (parts[-2], "bias"), None, "params"
 
     # TaskDecomposition reduction conv
     if "reduction_conv" in parts:
@@ -173,6 +188,14 @@ def load_torch_state_dict(variables: Dict, state_dict: Mapping[str, np.ndarray],
             continue
         path, tf, coll = tr
         dst = _get(out.get(coll, {}), path)
+        if dst is None and path and path[0].startswith("model_"):
+            # Segment/Pose heads nest their Detect tower under 'detect'
+            # (head.py Segment/Pose contain a Detect flax submodule), while
+            # the torch modules inherit Detect flat — retry one level down.
+            alt = (path[0], "detect") + path[1:]
+            alt_dst = _get(out.get(coll, {}), alt)
+            if alt_dst is not None:
+                path, dst = alt, alt_dst
         if dst is None:
             name_miss.append(tkey)
             continue

@@ -205,7 +205,7 @@ def fast_init_sam(module: nn.Module, key, x, points, labels):
         rng = np.random.default_rng((seed * 1000003 + hash(pathstr)) % (2 ** 63))
         if name == "kernel" and len(shape) >= 2:
             fan_in = int(np.prod(shape[:-1]))
-            bound = math.sqrt(3.0 / fan_in)
+            bound = math.sqrt(1.0 / fan_in)  # torch kaiming_uniform_(a=sqrt(5))
             return rng.uniform(-bound, bound, shape).astype(dtype)
         if name in ("scale", "weight", "var"):
             return np.ones(shape, dtype)
