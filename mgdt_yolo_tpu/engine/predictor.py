@@ -47,12 +47,17 @@ class BasePredictor(CallbackMixin):
         self.variables = variables or model_holder.variables
         conf = self.args.conf if self.args.conf else 0.25
 
+        augment = bool(getattr(self.args, "augment", False))
+
         @jax.jit
         def infer(vs, img):
             import jax.numpy as jnp
             if jnp.issubdtype(img.dtype, jnp.integer):
                 img = img.astype(jnp.float32) / 255.0
-            decoded, _ = model_holder.model.apply(vs, img, train=False)
+            if augment:  # TTA: 3 scales + lr-flip (tasks.predict_augment)
+                decoded, _ = model_holder.predict_augment(img, variables=vs)
+            else:
+                decoded, _ = model_holder.model.apply(vs, img, train=False)
             return non_max_suppression(decoded, conf_thres=conf,
                                        iou_thres=self.args.iou,
                                        max_det=self.args.max_det,

@@ -155,10 +155,10 @@ def parse_model(d: Dict, ch: int = 3, verbose: bool = True
 
 
 def build_module(spec: LayerSpec, dtype, strides: Optional[Tuple[int, ...]],
-                 kpt_shape=(17, 3)) -> nn.Module:
+                 kpt_shape=(17, 3), name: Optional[str] = None) -> nn.Module:
     """Instantiate the linen module for one LayerSpec."""
     a = spec.args
-    name = f"model_{spec.i}"
+    name = name or f"model_{spec.i}"
     m = spec.name
     if m == "Conv":
         k = a[2] if len(a) > 2 else 1
@@ -255,13 +255,42 @@ def fast_init(model: nn.Module, key, dummy: jnp.ndarray) -> Dict:
                 fan_in = shape[0] * shape[1] * shape[2]
             else:  # dense (in, out)
                 fan_in = shape[0]
-            bound = math.sqrt(3.0 / fan_in)
+            bound = math.sqrt(1.0 / fan_in)  # torch kaiming_uniform_(a=sqrt(5))
             return rng.uniform(-bound, bound, shape).astype(dtype)
         if name in ("scale", "var"):
             return np.ones(shape, dtype)
         return np.zeros(shape, dtype)  # bias, mean, gamma, beta
 
     return jax.tree_util.tree_map_with_path(materialize, shapes)
+
+
+def _scale_img(img, ratio: float, gs: int = 32):
+    """NHWC scale-and-pad to a gs-multiple canvas (reference scale_img,
+    yolo/utils/torch_utils.py:261-270): bilinear resize (no antialias,
+    matching F.interpolate align_corners=False) then bottom/right pad with
+    0.447 (imagenet mean)."""
+    if ratio == 1.0:
+        return img
+    b, h, w, c = img.shape
+    nh, nw = int(h * ratio), int(w * ratio)
+    out = jax.image.resize(img, (b, nh, nw, c), method="bilinear",
+                           antialias=False)
+    ph = math.ceil(h * ratio / gs) * gs
+    pw = math.ceil(w * ratio / gs) * gs
+    return jnp.pad(out, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)),
+                   constant_values=0.447)
+
+
+def _descale_pred(p, flip, scale: float, img_size):
+    """Invert TTA scaling/flip on decoded preds (B, 4+nc, A) — reference
+    _descale_pred, nn/tasks.py:272-281. Boxes are xywh in channels 0:4."""
+    xy_wh = p[:, :4] / scale
+    x, y, wh = xy_wh[:, 0:1], xy_wh[:, 1:2], xy_wh[:, 2:4]
+    if flip == 2:
+        y = img_size[0] - y
+    elif flip == 3:
+        x = img_size[1] - x
+    return jnp.concatenate((x, y, wh, p[:, 4:]), axis=1)
 
 
 class GraphModel(nn.Module):
@@ -286,8 +315,14 @@ class GraphModel(nn.Module):
                 inp = [out if j == -1 else saved[j] for j in spec.f]
             kw = head_kwargs if (head_kwargs and spec.i == last) else {}
             if spec.n > 1:  # sequential repeat (rare: only non-CSP modules)
-                for _ in range(spec.n):
-                    inp = mod(inp, train=train)
+                # n distinct module instances (distinct params), matching the
+                # reference's nn.Sequential of n modules — reusing one flax
+                # instance would silently share weights across repeats.
+                for r in range(spec.n):
+                    m_r = mod if r == 0 else build_module(
+                        spec, self.dtype, self.strides,
+                        name=f"model_{spec.i}_rep{r}")
+                    inp = m_r(inp, train=train)
                 out = inp
             else:
                 out = mod(inp, train=train, **kw)
@@ -424,6 +459,36 @@ class DetectionModel(BaseModel):
         """Eval forward: returns (decoded (B, 4+nc, A), feats)."""
         variables = variables or self.variables
         return self.model.apply(variables, x, train=False)
+
+    # ---- test-time augmentation (reference _predict_augment,
+    # nn/tasks.py:256-291) ------------------------------------------------
+    def predict_augment(self, x, variables=None):
+        """TTA inference: 3 scales [1, 0.83, 0.67], lr-flip on the middle
+        scale, de-scaled and tail-clipped, concatenated along anchors.
+        Every scale is a static shape, so the whole thing jits as one XLA
+        program. Returns (decoded (B, 4+nc, A_total), None)."""
+        variables = variables or self.variables
+        img_h, img_w = x.shape[1], x.shape[2]  # NHWC
+        gs = int(max(self.stride))
+        ys = []
+        for si, fi in zip((1.0, 0.83, 0.67), (None, 3, None)):
+            xi = jnp.flip(x, axis=2) if fi == 3 else x  # 3 = lr flip (W axis)
+            xi = _scale_img(xi, si, gs)
+            yi, _ = self.model.apply(variables, xi, train=False)
+            ys.append(_descale_pred(yi, fi, si, (img_h, img_w)))
+        ys = self._clip_augmented(ys)
+        return jnp.concatenate(ys, axis=-1), None
+
+    def _clip_augmented(self, y):
+        """Drop large-object anchors of the full-scale pass and small-object
+        anchors of the smallest pass (reference tasks.py:282-291)."""
+        nl = len(self.stride)
+        g = sum(4 ** k for k in range(nl))
+        i = (y[0].shape[-1] // g) * 1            # e=1 tail of the P5 grid
+        y[0] = y[0][..., :-i]
+        i = (y[-1].shape[-1] // g) * 4 ** (nl - 1)  # head of the P3 grid
+        y[-1] = y[-1][..., i:]
+        return y
 
     def forward_feats(self, variables, x, train: bool = True):
         """Training forward returning raw per-scale maps (+ updated BN stats)."""

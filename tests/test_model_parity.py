@@ -44,6 +44,28 @@ def _run_parity(cfg_name: str, imgsz: int = 64, atol: float = 2e-3):
     return report
 
 
+class TestTTAParity:
+    def test_predict_augment_matches_reference(self):
+        """TTA (3 scales + lr-flip + de-scale + tail clip) golden parity
+        (reference _predict_augment, nn/tasks.py:256-291)."""
+        torch.manual_seed(0)
+        cfg = "yolov8.yaml"
+        ref = build_reference_model(cfg)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        mine = DetectionModel(cfg)
+        variables, _ = load_torch_state_dict(mine.variables, sd, verbose=False)
+
+        rng = np.random.default_rng(3)
+        x = rng.uniform(0, 1, (1, 3, 96, 96)).astype(np.float32)
+        with torch.no_grad():
+            ty = ref._predict_augment(torch.from_numpy(x))[0]
+        got, _ = mine.predict_augment(jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                      variables)
+        got = np.asarray(got)
+        assert got.shape == tuple(ty.shape), (got.shape, ty.shape)
+        np.testing.assert_allclose(got, ty.numpy(), atol=2e-2)
+
+
 class TestForwardParity:
     def test_yolov8n_detect(self):
         r = _run_parity("yolov8.yaml")
