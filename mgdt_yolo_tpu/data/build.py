@@ -1,11 +1,12 @@
 """Batch assembly + background prefetch feeding padded NHWC device batches.
 
 Replaces the reference's torch DataLoader stack (yolo/data/build.py:22-109):
-a thread pool runs the numpy augment pipeline, batches are padded to static
-(b, max_gt) target tensors (so every train step hits the same XLA program),
-and a small queue keeps the accelerator fed while the host prepares the next
-batch. Under a device mesh the global batch is simply sharded along the
-batch axis by the caller (parallel/mesh.py).
+a `workers`-wide thread pool runs the numpy augment pipeline with up to two
+batches in flight, batches are padded to static (b, max_gt) target tensors
+(so every train step hits the same XLA program), and a small queue keeps the
+accelerator fed while the host prepares the next batch. Under a device mesh
+the global batch is simply sharded along the batch axis by the caller
+(parallel/mesh.py).
 """
 from __future__ import annotations
 
@@ -13,40 +14,44 @@ import math
 import queue
 import random
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
 import numpy as np
 
 from ..utils import LOGGER
-from .augment import letterbox, train_transform
+from .augment import letterbox, resize_long_side, train_transform
 
 
-def collate(items, imgsz: int, max_gt: int, train: bool,
+def collate(items, imgsz, max_gt: int, train: bool,
             mask_ratio: int = 4) -> Dict[str, np.ndarray]:
     """Stack items into one padded batch dict.
 
     Train items are already imgsz-square from the augment pipeline; val items
     are letterboxed here (scaleup=False matches reference val pipeline).
+    `imgsz` is an int (square) or an (h, w) tuple (rect-val batch shape).
     Items carrying `masks` / `keypoints` (segment/pose tasks) get padded
     (b, max_gt, ...) planes at mask_ratio-downsampled resolution.
     """
     b = len(items)
+    th, tw = (imgsz, imgsz) if isinstance(imgsz, int) else imgsz
     # uint8 to the device (4x less transfer); normalization happens in-graph
-    imgs = np.empty((b, imgsz, imgsz, 3), np.uint8)
+    imgs = np.empty((b, th, tw, 3), np.uint8)
     gt_labels = np.zeros((b, max_gt), np.int32)
     gt_bboxes = np.zeros((b, max_gt, 4), np.float32)
     mask_gt = np.zeros((b, max_gt), bool)
     has_masks = any("masks" in it for it in items)
     has_kpts = any("keypoints" in it for it in items)
-    mh = imgsz // mask_ratio
-    masks = np.zeros((b, max_gt, mh, mh), np.float32) if has_masks else None
+    mh, mw = th // mask_ratio, tw // mask_ratio
+    masks = np.zeros((b, max_gt, mh, mw), np.float32) if has_masks else None
     kpts = None
     metas = []
     for j, it in enumerate(items):
         img = it["img"]
         boxes = it["boxes"]
         if not train:
-            img, ratio, pad = letterbox(img, (imgsz, imgsz), scaleup=False)
+            img, ratio, pad = letterbox(img, (th, tw), scaleup=False)
             if len(boxes):
                 boxes = boxes.copy()
                 boxes[:, [0, 2]] = boxes[:, [0, 2]] * ratio[0] + pad[0]
@@ -62,7 +67,7 @@ def collate(items, imgsz: int, max_gt: int, train: bool,
             if has_masks and "masks" in it:
                 import cv2
                 for k in range(n):
-                    masks[j, k] = cv2.resize(it["masks"][k], (mh, mh),
+                    masks[j, k] = cv2.resize(it["masks"][k], (mw, mh),
                                              interpolation=cv2.INTER_NEAREST)
             if has_kpts and "keypoints" in it:
                 kp = it["keypoints"]
@@ -86,7 +91,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, imgsz: int, train: bool = True,
                  hyp=None, max_gt: Optional[int] = None, seed: int = 0,
-                 workers: int = 4, drop_last: Optional[bool] = None):
+                 workers: int = 4, drop_last: Optional[bool] = None,
+                 rect: bool = False, pad: float = 0.5, stride: int = 32):
         self.dataset = dataset
         self.batch_size = batch_size
         self.imgsz = imgsz
@@ -99,6 +105,35 @@ class DataLoader:
         base = max(1, dataset.max_labels())
         self.max_gt = max_gt or int(math.ceil((base * (4 if train else 1)) / 8) * 8)
         self.epoch = 0
+        self._buf_lock = threading.Lock()
+        self.rect = rect and not train
+        self.batch_shapes = None
+        if self.rect:
+            self._set_rectangle(pad, stride)
+
+    def _set_rectangle(self, pad: float, stride: int):
+        """Aspect-sorted batch order + per-batch stride-aligned shapes
+        (reference base.py:212-235; pad=0.5 for val, build.py:84). Batches
+        of near-equal aspect share a shape, so XLA compiles one program per
+        unique (h, w) bucket rather than per image."""
+        s = np.array(self.dataset.shapes(), float)  # (n, 2) hw
+        ar = s[:, 0] / s[:, 1]
+        self._rect_order = np.argsort(ar).tolist()
+        ar = ar[self._rect_order]
+        nb = len(self)
+        bs = self.batch_size
+        shapes = []
+        for i in range(nb):
+            ari = ar[i * bs:(i + 1) * bs]
+            mini, maxi = ari.min(), ari.max()
+            shape = [1.0, 1.0]
+            if maxi < 1:
+                shape = [maxi, 1.0]
+            elif mini > 1:
+                shape = [1.0, 1.0 / mini]
+            shapes.append(shape)
+        self.batch_shapes = (np.ceil(
+            np.array(shapes) * self.imgsz / stride + pad).astype(int) * stride)
 
     def __len__(self):
         n = len(self.dataset) / self.batch_size
@@ -108,6 +143,8 @@ class DataLoader:
         self.epoch = epoch
 
     def _indices(self):
+        if self.rect:
+            return list(self._rect_order)
         idx = list(range(len(self.dataset)))
         if self.train:
             random.Random(self.seed + self.epoch).shuffle(idx)
@@ -115,28 +152,22 @@ class DataLoader:
 
     def _make_item(self, i: int, rng: random.Random) -> Dict:
         item = self.dataset[i]
-        if self.train and "masks" not in item and "keypoints" not in item:
-            buf = self.dataset.buffer
-            out = train_transform(item, self.imgsz, self.hyp, buf, rng)
-            buf.append(item)
-            if len(buf) > 32:
-                buf.pop(0)
-            return out
         if self.train:
-            # segment/pose: geometric-augment propagation for masks/kpts lands
-            # with the full instance-aware pipeline; train on letterboxed items
-            from .augment import letterbox
-            img, r, (dw, dh) = letterbox(item["img"], (self.imgsz, self.imgsz))
-            boxes = item["boxes"].copy()
-            if len(boxes):
-                boxes[:, [0, 2]] = boxes[:, [0, 2]] * r[0] + dw
-                boxes[:, [1, 3]] = boxes[:, [1, 3]] * r[1] + dh
-            out = dict(item, img=img, boxes=boxes)
-            if "keypoints" in item:
-                kp = item["keypoints"].copy()
-                kp[..., 0] = kp[..., 0] * r[0] + dw
-                kp[..., 1] = kp[..., 1] * r[1] + dh
-                out["keypoints"] = kp
+            # reference load_image: long side -> imgsz before any augment
+            # (base.py:146-160), so mosaic composes imgsz-scale tiles
+            item = resize_long_side(item, self.imgsz, augment=True)
+            buf = self.dataset.buffer
+            with self._buf_lock:
+                picks = list(buf)
+            # masks/keypoints ride the full geometric pipeline (instance-
+            # aware mosaic/affine/flip warps in augment.train_transform)
+            out = train_transform(item, self.imgsz, self.hyp, picks, rng,
+                                  flip_idx=getattr(self.dataset, "flip_idx",
+                                                   None))
+            with self._buf_lock:
+                buf.append(item)
+                if len(buf) > 32:
+                    buf.pop(0)
             return out
         return item
 
@@ -144,25 +175,57 @@ class DataLoader:
         idx = self._indices()
         nb = len(self)
         q: queue.Queue = queue.Queue(maxsize=4)
+        pool = ThreadPoolExecutor(max_workers=self.workers,
+                                  thread_name_prefix="mgdt-data")
+
+        def make(i: int, pos: int) -> Dict:
+            # per-item seed: deterministic regardless of worker scheduling
+            rng = random.Random(
+                (self.seed * 1000003 + self.epoch * 7919 + pos) & 0x7FFFFFFF)
+            return self._make_item(i, rng)
+
+        def submit_batch(b: int):
+            chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            return [pool.submit(make, i, b * self.batch_size + j)
+                    for j, i in enumerate(chunk)]
 
         def producer():
-            rng = random.Random(self.seed * 7919 + self.epoch)
-            for b in range(nb):
-                chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                items = [self._make_item(i, rng) for i in chunk]
-                q.put(collate(items, self.imgsz, self.max_gt, self.train))
-            q.put(None)
+            try:
+                pending: deque = deque()
+                nxt = 0
+                while nxt < min(2, nb):  # keep two batches in flight
+                    pending.append(submit_batch(nxt))
+                    nxt += 1
+                done = 0
+                while pending:
+                    items = [f.result() for f in pending.popleft()]
+                    if nxt < nb:
+                        pending.append(submit_batch(nxt))
+                        nxt += 1
+                    shape = (tuple(self.batch_shapes[done])
+                             if self.batch_shapes is not None else self.imgsz)
+                    q.put(collate(items, shape, self.max_gt, self.train))
+                    done += 1
+                q.put(None)
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            batch = q.get()
-            if batch is None:
-                break
-            yield batch
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def build_dataloader(dataset, batch_size: int, imgsz: int, train: bool = True,
-                     hyp=None, seed: int = 0, workers: int = 4) -> DataLoader:
+                     hyp=None, seed: int = 0, workers: int = 4,
+                     rect: bool = False, stride: int = 32) -> DataLoader:
     return DataLoader(dataset, batch_size, imgsz, train=train, hyp=hyp,
-                      seed=seed, workers=workers)
+                      seed=seed, workers=workers, rect=rect, stride=stride)

@@ -48,16 +48,25 @@ class DetItem:
 
 
 class YOLODataset:
-    """Scans an images dir + YOLO txt labels (class cx cy w h, normalized)."""
+    """Scans an images dir + YOLO txt labels (class cx cy w h, normalized).
+
+    The scan is verified and cached: every image/label pair goes through
+    verify_image_label (EXIF size, truncated-JPEG restore, label sanity) on
+    a thread pool, corrupt pairs are dropped with a warning, and the result
+    is stored in a hash-validated sidecar cache so later runs skip the scan
+    (reference yolo/data/dataset.py:41-142).
+    """
 
     def __init__(self, img_dir: str, imgsz: int = 640, augment: bool = False,
                  hyp=None, fraction: float = 1.0, single_cls: bool = False,
-                 cache: bool | str = False):
+                 cache: bool | str = False, nc: Optional[int] = None,
+                 workers: int = 8):
+        from .utils import scan_labels
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = hyp
         self.single_cls = single_cls
-        self.cache = cache  # 'ram' keeps decoded images resident
+        self.cache = cache  # 'ram' keeps decoded images resident; 'disk' .npy
         self._ram: Dict[int, np.ndarray] = {}
         root = Path(img_dir)
         files = sorted(str(p) for p in root.rglob("*") if p.suffix[1:].lower() in IMG_FORMATS)
@@ -65,22 +74,20 @@ class YOLODataset:
             files = files[:max(1, int(len(files) * fraction))]
         if not files:
             raise FileNotFoundError(f"no images found under {img_dir}")
-        self.im_files = files
-        self.labels = [self._load_label(f) for f in files]
-        LOGGER.info(f"dataset: {len(files)} images from {img_dir}")
+        label_files = [img2label_path(f) for f in files]
+        cache_path = Path(label_files[0]).parent.with_suffix(".cache") \
+            if label_files else root.with_suffix(".cache")
+        records = scan_labels(files, label_files, cache_path, num_cls=nc,
+                              workers=workers)
+        if not records:
+            raise FileNotFoundError(f"no usable images under {img_dir}")
+        self.im_files = [r["im_file"] for r in records]
+        self.labels = [np.concatenate([r["cls"][:, None], r["xywh"]], 1)
+                       .astype(np.float32) if len(r["cls"])
+                       else np.zeros((0, 5), np.float32) for r in records]
+        self._shapes = [tuple(r["shape"]) for r in records]
+        LOGGER.info(f"dataset: {len(self.im_files)} images from {img_dir}")
         self.buffer: List[Dict] = []
-
-    def _load_label(self, img_path: str) -> np.ndarray:
-        lp = img2label_path(img_path)
-        if Path(lp).is_file():
-            rows = []
-            for line in Path(lp).read_text().splitlines():
-                parts = line.split()
-                if len(parts) >= 5:
-                    rows.append([float(x) for x in parts[:5]])
-            if rows:
-                return np.asarray(rows, np.float32)
-        return np.zeros((0, 5), np.float32)
 
     def __len__(self):
         return len(self.im_files)
@@ -88,9 +95,34 @@ class YOLODataset:
     def max_labels(self) -> int:
         return max((len(l) for l in self.labels), default=0)
 
+    def shapes(self) -> List[Tuple[int, int]]:
+        """(h, w) per image without decoding pixels (PIL header read) —
+        feeds rect-batch shape planning (reference base.py:212-235)."""
+        if not hasattr(self, "_shapes"):
+            from PIL import Image
+            out = []
+            for f in self.im_files:
+                with Image.open(f) as im:
+                    w, h = im.size
+                out.append((h, w))
+            self._shapes = out
+        return self._shapes
+
     def __getitem__(self, i: int) -> Dict:
         if self.cache in (True, "ram") and i in self._ram:
             img = self._ram[i]
+        elif self.cache == "disk":
+            # decoded-image .npy sidecar (reference base.py:195-201): decode
+            # once, mmap-load after — trades disk for JPEG-decode CPU
+            npy = Path(self.im_files[i]).with_suffix(".npy")
+            if npy.is_file():
+                img = np.load(str(npy))
+            else:
+                img = cv2.imread(self.im_files[i])
+                try:
+                    np.save(str(npy), img)
+                except OSError:
+                    pass
         else:
             img = cv2.imread(self.im_files[i])
             if self.cache in (True, "ram"):
@@ -140,6 +172,9 @@ class SyntheticDetectionDataset:
 
     def max_labels(self) -> int:
         return self.max_objects
+
+    def shapes(self):
+        return [(self.imgsz, self.imgsz)] * self.n
 
     def __getitem__(self, i: int) -> Dict:
         rng = np.random.default_rng(self.seed * 100003 + i)

@@ -50,7 +50,9 @@ class DetectionValidator(BaseValidator):
             t.model_holder = model_holder
             dataset = t.get_dataset(train=False)
         loader = self.dataloader or build_dataloader(
-            dataset, batch_size, args.imgsz, train=False, seed=args.seed)
+            dataset, batch_size, args.imgsz, train=False, seed=args.seed,
+            rect=bool(getattr(args, "rect", False)),
+            stride=int(max(model_holder.stride)))
 
         @partial(jax.jit, static_argnames=())
         def infer(vs, img):
@@ -73,6 +75,7 @@ class DetectionValidator(BaseValidator):
             if max_batches and bi >= max_batches:
                 break
             dets, counts = jax.device_get(infer(variables, batch["img"]))
+            in_shape = tuple(batch["img"].shape[1:3])  # rect: per-batch (h, w)
             metas = batch.get("metas") or [{}] * len(dets)
             for j in range(len(dets)):
                 n = int(counts[j])
@@ -84,9 +87,9 @@ class DetectionValidator(BaseValidator):
                 if m.get("ori_shape") is not None and m.get("ratio_pad"):
                     ori = m["ori_shape"]
                     det_s = det.copy()
-                    det_s[:, :4] = scale_boxes((args.imgsz, args.imgsz), det[:, :4],
+                    det_s[:, :4] = scale_boxes(in_shape, det[:, :4],
                                                ori, m["ratio_pad"])
-                    gt_s = scale_boxes((args.imgsz, args.imgsz), gt_boxes.copy(), ori,
+                    gt_s = scale_boxes(in_shape, gt_boxes.copy(), ori,
                                        m["ratio_pad"]) if len(gt_boxes) else gt_boxes
                 else:
                     det_s, gt_s = det, gt_boxes
@@ -100,6 +103,8 @@ class DetectionValidator(BaseValidator):
         results = metrics.process()
         self.confusion_matrix = cm
         self.metrics = metrics
+        self._per_image_preds = per_image_preds  # native-space, for parity
+        self._per_image_gts = per_image_gts
         # fork counting metrics over the val set
         classes = list(range(model_holder.nc))
         self.counting_stats, self.count_r2 = counting_agreement(
