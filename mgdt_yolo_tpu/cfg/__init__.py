@@ -19,8 +19,8 @@ CFG_FLOAT_KEYS = ("warmup_epochs", "box", "cls", "dfl", "degrees", "shear")
 CFG_FRACTION_KEYS = (
     "dropout", "iou", "lr0", "lrf", "momentum", "weight_decay", "warmup_momentum",
     "warmup_bias_lr", "label_smoothing", "hsv_h", "hsv_s", "hsv_v", "translate",
-    "scale", "perspective", "flipud", "fliplr", "mosaic", "mixup", "copy_paste",
-    "conf", "fraction")
+    "scale", "perspective", "flipud", "fliplr", "mosaic", "mosaic9", "mixup",
+    "copy_paste", "conf", "fraction")
 CFG_INT_KEYS = ("epochs", "patience", "batch", "workers", "seed", "close_mosaic",
                 "mask_ratio", "max_det", "vid_stride", "line_width", "workspace",
                 "nbs", "save_period")

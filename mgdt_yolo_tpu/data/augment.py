@@ -81,9 +81,15 @@ def random_perspective(img: np.ndarray, boxes_xyxy: np.ndarray, cls: np.ndarray,
                        scale: float = 0.5, shear: float = 0.0,
                        perspective: float = 0.0,
                        border: Tuple[int, int] = (0, 0),
-                       rng: Optional[random.Random] = None):
+                       rng: Optional[random.Random] = None,
+                       masks: Optional[np.ndarray] = None,
+                       keypoints: Optional[np.ndarray] = None):
     """Composed affine warp T@S@R@P@C + box transform + candidate filter
-    (reference augment.py:289-476)."""
+    (reference augment.py:289-476). Optional per-instance `masks` (n, H, W)
+    are warped with the same matrix (nearest), and `keypoints` (n, nk, 3)
+    have xy transformed with visibility zeroed outside the canvas — the
+    reference warps polygon segments / kpt arrays the same way
+    (augment.py:378-404)."""
     rng = rng or random
     h = img.shape[0] + border[0] * 2
     w = img.shape[1] + border[1] * 2
@@ -125,7 +131,64 @@ def random_perspective(img: np.ndarray, boxes_xyxy: np.ndarray, cls: np.ndarray,
         keep = box_candidates(boxes_xyxy.T * s, new.T, area_thr=0.1)
         boxes_xyxy = new[keep]
         cls = cls[keep]
-    return img, boxes_xyxy, cls
+        if masks is not None and len(masks):
+            warped = np.stack([
+                cv2.warpPerspective(m, M, dsize=(w, h), borderValue=0)
+                if perspective else
+                cv2.warpAffine(m, M[:2], dsize=(w, h), borderValue=0)
+                for m in masks])
+            masks = warped[keep]
+        if keypoints is not None and len(keypoints):
+            nk = keypoints.shape[1]
+            pts = np.ones((n * nk, 3))
+            pts[:, :2] = keypoints[..., :2].reshape(n * nk, 2)
+            pts = pts @ M.T
+            pxy = (pts[:, :2] / pts[:, 2:3] if perspective
+                   else pts[:, :2]).reshape(n, nk, 2)
+            vis = keypoints[..., 2].copy()
+            inside = ((pxy[..., 0] >= 0) & (pxy[..., 0] < w) &
+                      (pxy[..., 1] >= 0) & (pxy[..., 1] < h))
+            vis = np.where(inside, vis, 0.0)
+            keypoints = np.concatenate([pxy, vis[..., None]], -1)[keep]
+    extras = {}
+    if masks is not None:
+        extras["masks"] = masks
+    if keypoints is not None:
+        extras["keypoints"] = keypoints
+    return img, boxes_xyxy, cls, extras
+
+
+def resize_long_side(item: Dict, imgsz: int, augment: bool = True) -> Dict:
+    """Resize so max(h, w) == imgsz before augmentation, scaling labels
+    (reference load_image, yolo/data/base.py:146-160: r = imgsz/max(h0,w0),
+    INTER_LINEAR when augmenting or upscaling else INTER_AREA). Without this,
+    mosaic on native-resolution images trains on corner crops with most
+    content and labels cropped out."""
+    img = item["img"]
+    h0, w0 = img.shape[:2]
+    r = imgsz / max(h0, w0)
+    if r == 1:
+        return item
+    interp = cv2.INTER_LINEAR if (augment or r > 1) else cv2.INTER_AREA
+    w = min(math.ceil(w0 * r), imgsz)
+    h = min(math.ceil(h0 * r), imgsz)
+    img = cv2.resize(img, (w, h), interpolation=interp)
+    out = dict(item, img=img)
+    if len(item.get("boxes", ())):
+        boxes = item["boxes"].copy()
+        boxes[:, [0, 2]] *= w / w0
+        boxes[:, [1, 3]] *= h / h0
+        out["boxes"] = boxes
+    if "keypoints" in item:
+        kp = item["keypoints"].copy()
+        kp[..., 0] *= w / w0
+        kp[..., 1] *= h / h0
+        out["keypoints"] = kp
+    if "masks" in item and len(item["masks"]):
+        out["masks"] = np.stack([
+            cv2.resize(m, (w, h), interpolation=cv2.INTER_NEAREST)
+            for m in item["masks"]])
+    return out
 
 
 def mosaic4(items: List[Dict], imgsz: int, rng: Optional[random.Random] = None):
@@ -140,7 +203,9 @@ def mosaic4(items: List[Dict], imgsz: int, rng: Optional[random.Random] = None):
     yc = int(rng.uniform(s // 2, 2 * s - s // 2))
     xc = int(rng.uniform(s // 2, 2 * s - s // 2))
     canvas = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
-    all_boxes, all_cls = [], []
+    with_masks = any("masks" in it for it in items[:4])
+    with_kpts = any("keypoints" in it for it in items[:4])
+    all_boxes, all_cls, all_masks, all_kpts = [], [], [], []
     for i, item in enumerate(items[:4]):
         img = item["img"]
         h, w = img.shape[:2]
@@ -164,11 +229,211 @@ def mosaic4(items: List[Dict], imgsz: int, rng: Optional[random.Random] = None):
             b[:, [1, 3]] += padh
             all_boxes.append(b)
             all_cls.append(item["cls"])
+            if with_masks:
+                n = len(item["boxes"])
+                planes = np.zeros((n, s * 2, s * 2), np.float32)
+                if "masks" in item and len(item["masks"]):
+                    planes[:, y1a:y2a, x1a:x2a] = \
+                        item["masks"][:n, y1b:y2b, x1b:x2b]
+                all_masks.append(planes)
+            if with_kpts:
+                if "keypoints" in item and len(item["keypoints"]):
+                    kp = item["keypoints"].copy()
+                    kp[..., 0] += padw
+                    kp[..., 1] += padh
+                    all_kpts.append(kp)
+                else:  # box-only item in a kpt mosaic: all-invisible slots
+                    nk = next(it["keypoints"].shape[1] for it in items[:4]
+                              if "keypoints" in it)
+                    all_kpts.append(np.zeros((len(item["boxes"]), nk, 3),
+                                             np.float32))
     boxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
     cls = np.concatenate(all_cls) if all_cls else np.zeros((0,), np.float32)
     boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, 2 * s)
     boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, 2 * s)
-    return canvas, boxes, cls
+    extras = {}
+    if with_masks:
+        extras["masks"] = (np.concatenate(all_masks) if all_masks
+                           else np.zeros((0, s * 2, s * 2), np.float32))
+    if with_kpts:
+        extras["keypoints"] = (np.concatenate(all_kpts) if all_kpts
+                               else np.zeros((0, 17, 3), np.float32))
+    return canvas, boxes, cls, extras
+
+
+def mosaic9(items: List[Dict], imgsz: int, rng: Optional[random.Random] = None):
+    """9-image mosaic on a 3x3 canvas, center-cropped to (2s)^2 so the
+    caller's random_perspective(border=-s//2) contract matches mosaic4
+    (reference _mosaic9, augment.py:190-237). Supports per-instance masks
+    and keypoints like mosaic4."""
+    rng = rng or random
+    s = imgsz
+    with_masks = any("masks" in it for it in items[:9])
+    with_kpts = any("keypoints" in it for it in items[:9])
+    img9 = np.full((s * 3, s * 3, 3), 114, dtype=np.uint8)
+    hp = wp = -1
+    h0 = w0 = s
+    all_boxes, all_cls, all_masks, all_kpts = [], [], [], []
+    for i, item in enumerate(items[:9]):
+        img = item["img"]
+        h, w = img.shape[:2]
+        if i == 0:  # center
+            h0, w0 = h, w
+            c = s, s, s + w, s + h
+        elif i == 1:  # top
+            c = s, s - h, s + w, s
+        elif i == 2:  # top right
+            c = s + wp, s - h, s + wp + w, s
+        elif i == 3:  # right
+            c = s + w0, s, s + w0 + w, s + h
+        elif i == 4:  # bottom right
+            c = s + w0, s + hp, s + w0 + w, s + hp + h
+        elif i == 5:  # bottom
+            c = s + w0 - w, s + h0, s + w0, s + h0 + h
+        elif i == 6:  # bottom left
+            c = s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h
+        elif i == 7:  # left
+            c = s - w, s + h0 - h, s, s + h0
+        else:  # top left
+            c = s - w, s + h0 - hp - h, s, s + h0 - hp
+        padw, padh = c[:2]
+        x1, y1, x2, y2 = (max(v, 0) for v in c)
+        img9[y1:y2, x1:x2] = img[y1 - padh:y1 - padh + (y2 - y1),
+                                 x1 - padw:x1 - padw + (x2 - x1)]
+        hp, wp = h, w
+        if len(item["boxes"]):
+            b = item["boxes"].copy()
+            b[:, [0, 2]] += padw
+            b[:, [1, 3]] += padh
+            all_boxes.append(b)
+            all_cls.append(item["cls"])
+            if with_masks:
+                n = len(item["boxes"])
+                planes = np.zeros((n, s * 3, s * 3), np.float32)
+                if "masks" in item and len(item["masks"]):
+                    planes[:, y1:y2, x1:x2] = item["masks"][
+                        :n, y1 - padh:y1 - padh + (y2 - y1),
+                        x1 - padw:x1 - padw + (x2 - x1)]
+                all_masks.append(planes)
+            if with_kpts:
+                if "keypoints" in item and len(item["keypoints"]):
+                    kp = item["keypoints"].copy()
+                    kp[..., 0] += padw
+                    kp[..., 1] += padh
+                    all_kpts.append(kp)
+                else:
+                    nk = next(it["keypoints"].shape[1] for it in items[:9]
+                              if "keypoints" in it)
+                    all_kpts.append(np.zeros((len(item["boxes"]), nk, 3),
+                                             np.float32))
+    # crop the 3s canvas back to the 2s mosaic window [s//2, s//2 + 2s)
+    off = s // 2
+    canvas = img9[off:off + 2 * s, off:off + 2 * s]
+    boxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
+    cls = np.concatenate(all_cls) if all_cls else np.zeros((0,), np.float32)
+    boxes -= off
+    boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, 2 * s)
+    boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, 2 * s)
+    extras = {}
+    if with_masks:
+        m = (np.concatenate(all_masks) if all_masks
+             else np.zeros((0, s * 3, s * 3), np.float32))
+        extras["masks"] = m[:, off:off + 2 * s, off:off + 2 * s]
+    if with_kpts:
+        k = (np.concatenate(all_kpts) if all_kpts
+             else np.zeros((0, 17, 3), np.float32))
+        k[..., :2] -= off
+        extras["keypoints"] = k
+    return canvas, boxes, cls, extras
+
+
+def bbox_ioa(box1: np.ndarray, box2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Intersection over box2 area, (n, m) (reference metrics.py:24-50)."""
+    ix1 = np.maximum(box1[:, None, 0], box2[None, :, 0])
+    iy1 = np.maximum(box1[:, None, 1], box2[None, :, 1])
+    ix2 = np.minimum(box1[:, None, 2], box2[None, :, 2])
+    iy2 = np.minimum(box1[:, None, 3], box2[None, :, 3])
+    inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+    area2 = ((box2[:, 2] - box2[:, 0]) * (box2[:, 3] - box2[:, 1]))[None]
+    return inter / (area2 + eps)
+
+
+def copy_paste(img: np.ndarray, boxes: np.ndarray, cls: np.ndarray,
+               masks: np.ndarray, p: float = 0.5,
+               rng: Optional[random.Random] = None):
+    """Segment Copy-Paste (reference augment.py:604-641, arXiv:2012.07177):
+    lr-flipped instances whose flipped box overlaps every existing box by
+    IoA < 0.30 are pasted (pixels under the flipped mask), duplicating their
+    labels. Requires per-instance masks (n, H, W)."""
+    rng = rng or random
+    if not p or masks is None or not len(masks):
+        return img, boxes, cls, masks
+    h, w = img.shape[:2]
+    flip_boxes = boxes.copy()
+    flip_boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+    ioa = bbox_ioa(flip_boxes, boxes)
+    candidates = np.nonzero((ioa < 0.30).all(1))[0]
+    k = round(p * len(candidates))
+    if k == 0:
+        return img, boxes, cls, masks
+    picks = rng.sample(list(candidates), k=k)
+    img = img.copy()
+    flipped_img = img[:, ::-1]
+    new_boxes, new_cls, new_masks = [boxes], [cls], [masks]
+    for j in picks:
+        fm = masks[j][:, ::-1]  # lr-flipped instance mask
+        sel = fm > 0.5
+        img[sel] = flipped_img[sel]
+        new_boxes.append(flip_boxes[j:j + 1])
+        new_cls.append(cls[j:j + 1])
+        new_masks.append(fm[None])
+    return (img, np.concatenate(new_boxes), np.concatenate(new_cls),
+            np.concatenate(new_masks))
+
+
+class Albumentations:
+    """Optional albumentations color-space jitter (reference
+    augment.py:644-688): Blur/MedianBlur/ToGray/CLAHE at p=0.01 each. Inert
+    when the package is absent (it is not baked into this environment)."""
+
+    def __init__(self, p: float = 1.0):
+        self.p = p
+        self.transform = None
+        try:
+            import albumentations as A
+            T = [A.Blur(p=0.01), A.MedianBlur(p=0.01), A.ToGray(p=0.01),
+                 A.CLAHE(p=0.01)]
+            self.transform = A.Compose(
+                T, bbox_params=A.BboxParams(format="yolo",
+                                            label_fields=["class_labels"]))
+        except ImportError:
+            pass
+        except Exception as e:  # version mismatch etc.
+            from ..utils import LOGGER
+            LOGGER.info(f"albumentations disabled: {e}")
+
+    def __call__(self, img, boxes_xyxy, cls, rng: Optional[random.Random] = None):
+        rng = rng or random
+        if self.transform is None or not len(cls) or rng.random() >= self.p:
+            return img, boxes_xyxy, cls
+        h, w = img.shape[:2]
+        xywh_n = np.stack([(boxes_xyxy[:, 0] + boxes_xyxy[:, 2]) / 2 / w,
+                           (boxes_xyxy[:, 1] + boxes_xyxy[:, 3]) / 2 / h,
+                           (boxes_xyxy[:, 2] - boxes_xyxy[:, 0]) / w,
+                           (boxes_xyxy[:, 3] - boxes_xyxy[:, 1]) / h], 1)
+        new = self.transform(image=img, bboxes=xywh_n, class_labels=cls)
+        if len(new["class_labels"]):
+            img = new["image"]
+            cls = np.asarray(new["class_labels"])
+            bb = np.asarray(new["bboxes"], np.float32)
+            boxes_xyxy = np.stack([(bb[:, 0] - bb[:, 2] / 2) * w,
+                                   (bb[:, 1] - bb[:, 3] / 2) * h,
+                                   (bb[:, 0] + bb[:, 2] / 2) * w,
+                                   (bb[:, 1] + bb[:, 3] / 2) * h], 1)
+        return img, boxes_xyxy, cls
+
+
+_ALBUMENTATIONS: Optional[Albumentations] = None
 
 
 def mixup(item_a: Dict, item_b: Dict, rng: Optional[random.Random] = None) -> Dict:
@@ -183,14 +448,27 @@ def mixup(item_a: Dict, item_b: Dict, rng: Optional[random.Random] = None) -> Di
 
 
 def train_transform(item: Dict, imgsz: int, hyp, buffer: List[Dict],
-                    rng: Optional[random.Random] = None) -> Dict:
+                    rng: Optional[random.Random] = None,
+                    flip_idx: Optional[List[int]] = None) -> Dict:
     """Full v8 train pipeline: mosaic -> affine -> HSV -> flips
-    (reference v8_transforms, augment.py:762-790). Mutates nothing."""
+    (reference v8_transforms, augment.py:762-790). Mutates nothing.
+    Items carrying per-instance `masks` (n, H, W) / `keypoints` (n, nk, 3)
+    ride the full geometric pipeline (instance-aware warp), matching the
+    reference's segment/kpt handling in Mosaic/RandomPerspective/RandomFlip.
+    `flip_idx` is the left/right keypoint permutation for horizontal flips
+    (reference augment.py:529-536)."""
     rng = rng or random
+    task_keys = [k for k in ("masks", "keypoints") if k in item]
     use_mosaic = rng.random() < getattr(hyp, "mosaic", 1.0)
     if use_mosaic and len(buffer) >= 3:
-        picks = [item] + [buffer[rng.randrange(len(buffer))] for _ in range(3)]
-        img, boxes, cls = mosaic4(picks, imgsz, rng)
+        # reference Mosaic supports n=4 or n=9 grids (augment.py:117-237);
+        # v8 ships n=4, the 3x3 grid is opt-in via hyp.mosaic9
+        use9 = (rng.random() < getattr(hyp, "mosaic9", 0.0)) and len(buffer) >= 8
+        n_extra = 8 if use9 else 3
+        picks = [item] + [buffer[rng.randrange(len(buffer))]
+                          for _ in range(n_extra)]
+        fn = mosaic9 if use9 else mosaic4
+        img, boxes, cls, extras = fn(picks, imgsz, rng)
         border = (-imgsz // 2, -imgsz // 2)
     else:
         img0, r, (dw, dh) = letterbox(item["img"], (imgsz, imgsz), scaleup=True)
@@ -199,14 +477,37 @@ def train_transform(item: Dict, imgsz: int, hyp, buffer: List[Dict],
             boxes[:, [0, 2]] = boxes[:, [0, 2]] * r[0] + dw
             boxes[:, [1, 3]] = boxes[:, [1, 3]] * r[1] + dh
         img, cls = img0, item["cls"]
+        extras = {}
+        if "masks" in item:
+            h0, w0 = item["img"].shape[:2]
+            nh, nw = int(round(h0 * r[1])), int(round(w0 * r[0]))
+            planes = np.zeros((len(item["masks"]), img.shape[0], img.shape[1]),
+                              np.float32)
+            ty, tx = int(round(dh - 0.1)), int(round(dw - 0.1))
+            for k, m in enumerate(item["masks"]):
+                planes[k, ty:ty + nh, tx:tx + nw] = cv2.resize(
+                    m, (nw, nh), interpolation=cv2.INTER_NEAREST)
+            extras["masks"] = planes
+        if "keypoints" in item:
+            kp = item["keypoints"].copy()
+            kp[..., 0] = kp[..., 0] * r[0] + dw
+            kp[..., 1] = kp[..., 1] * r[1] + dh
+            extras["keypoints"] = kp
         border = (0, 0)
-    img, boxes, cls = random_perspective(
+    cp = getattr(hyp, "copy_paste", 0.0)
+    if cp and "masks" in extras and len(extras["masks"]):
+        # reference order: Mosaic -> CopyPaste -> RandomPerspective
+        # (v8_transforms, augment.py:762-770)
+        img, boxes, cls, extras["masks"] = copy_paste(
+            img, boxes, cls, extras["masks"], p=cp, rng=rng)
+    img, boxes, cls, extras = random_perspective(
         img, boxes, cls, degrees=hyp.degrees, translate=hyp.translate,
         scale=hyp.scale, shear=hyp.shear, perspective=hyp.perspective,
-        border=border, rng=rng)
+        border=border, rng=rng, masks=extras.get("masks"),
+        keypoints=extras.get("keypoints"))
     # draw unconditionally so the rng stream is independent of buffer state
     use_mixup = rng.random() < getattr(hyp, "mixup", 0.0)
-    if use_mixup and buffer:
+    if use_mixup and buffer and not task_keys:  # reference: detect-only mixup
         other = buffer[rng.randrange(len(buffer))]
         o_img, r, (dw, dh) = letterbox(other["img"], img.shape[:2], scaleup=True)
         o_boxes = other["boxes"].copy()
@@ -216,14 +517,38 @@ def train_transform(item: Dict, imgsz: int, hyp, buffer: List[Dict],
         mixed = mixup({"img": img, "boxes": boxes, "cls": cls},
                       {"img": o_img, "boxes": o_boxes, "cls": other["cls"]}, rng)
         img, boxes, cls = mixed["img"], mixed["boxes"], mixed["cls"]
+    global _ALBUMENTATIONS
+    if _ALBUMENTATIONS is None:
+        _ALBUMENTATIONS = Albumentations(p=1.0)
+    if not task_keys:  # color-only jitter; bbox bookkeeping matches reference
+        img, boxes, cls = _ALBUMENTATIONS(img, boxes, cls, rng)
     img = augment_hsv(img, hyp.hsv_h, hyp.hsv_s, hyp.hsv_v, rng)
     h, w = img.shape[:2]
+    masks = extras.get("masks")
+    kpts = extras.get("keypoints")
     if rng.random() < getattr(hyp, "flipud", 0.0):
         img = np.flipud(img).copy()
         if len(boxes):
             boxes[:, [1, 3]] = h - boxes[:, [3, 1]]
+        if masks is not None and len(masks):
+            masks = masks[:, ::-1].copy()
+        if kpts is not None and len(kpts):
+            kpts = kpts.copy()
+            kpts[..., 1] = np.where(kpts[..., 2] > 0, h - kpts[..., 1], 0.0)
     if rng.random() < getattr(hyp, "fliplr", 0.0):
         img = np.fliplr(img).copy()
         if len(boxes):
             boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
-    return {"img": img, "boxes": boxes, "cls": cls}
+        if masks is not None and len(masks):
+            masks = masks[:, :, ::-1].copy()
+        if kpts is not None and len(kpts):
+            kpts = kpts.copy()
+            kpts[..., 0] = np.where(kpts[..., 2] > 0, w - kpts[..., 0], 0.0)
+            if flip_idx is not None:  # left/right kpt swap
+                kpts = kpts[:, list(flip_idx)]
+    out = {"img": img, "boxes": boxes, "cls": cls}
+    if masks is not None:
+        out["masks"] = masks
+    if kpts is not None:
+        out["keypoints"] = kpts
+    return out
