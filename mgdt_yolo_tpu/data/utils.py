@@ -1,10 +1,14 @@
-"""Dataset utilities: label verification, polygon rasterization, dataset
-yaml resolution, COCO conversion (reference yolo/data/utils.py:63-266,
-converter.py:28, annotator.py:8).
+"""Dataset utilities: label verification + hash-validated scan cache,
+polygon rasterization, dataset yaml resolution, COCO conversion (reference
+yolo/data/utils.py:45-266, dataset.py:41-142, converter.py:28,
+annotator.py:8).
 """
 from __future__ import annotations
 
+import hashlib
 import json
+import os
+from multiprocessing.pool import ThreadPool
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -14,34 +18,159 @@ import numpy as np
 from ..utils import LOGGER, yaml_load
 
 IMG_FORMATS = {"bmp", "jpeg", "jpg", "png", "tif", "tiff", "webp"}
+CACHE_VERSION = "mgdt-tpu-1.0"
 
 
-def verify_image_label(img_path: str, label_path: str, num_cls: int
-                       ) -> Tuple[bool, str]:
-    """Validate one image/label pair (reference utils.py:63-134): readable
-    image, sane size, well-formed normalized labels, class ids in range."""
+def get_hash(paths: List[str]) -> str:
+    """Single hash of a path list: total size + joined names (reference
+    yolo/data/utils.py:45-50) — invalidates the label cache when any file
+    changes size or the file set changes."""
+    size = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+    h = hashlib.sha256(str(size).encode())
+    h.update("".join(paths).encode())
+    return h.hexdigest()
+
+
+def exif_size(img) -> Tuple[int, int]:
+    """EXIF-orientation-corrected (w, h) of a PIL image (reference
+    yolo/data/utils.py:53-60)."""
+    s = img.size
     try:
-        img = cv2.imread(str(img_path))
-        if img is None:
-            return False, f"unreadable image {img_path}"
-        h, w = img.shape[:2]
-        if h < 10 or w < 10:
-            return False, f"image too small {w}x{h}"
+        rotation = dict(img.getexif()).get(274, None)
+        if rotation in (6, 8):  # 270 / 90 degrees
+            s = (s[1], s[0])
+    except Exception:
+        pass
+    return s
+
+
+def segments2boxes(segments: List[np.ndarray]) -> np.ndarray:
+    """Polygon segments -> normalized xywh boxes (reference utils.py:176-190)."""
+    boxes = []
+    for s in segments:
+        x, y = s[:, 0], s[:, 1]
+        boxes.append([(x.min() + x.max()) / 2, (y.min() + y.max()) / 2,
+                      x.max() - x.min(), y.max() - y.min()])
+    return np.asarray(boxes, np.float32).reshape(-1, 4)
+
+
+def verify_image_label(img_path: str, label_path: str,
+                       num_cls: Optional[int] = None):
+    """Verify one image/label pair (reference yolo/data/utils.py:63-134).
+
+    Returns (record | None, nm, nf, ne, ncorrupt, msg):
+    record = {im_file, shape (h, w), cls (n,), xywh (n, 4) normalized} on a
+    healthy pair, None when the image/label is corrupt (counted, not fatal).
+    Checks: PIL verify + EXIF size, >=10px, known format, truncated-JPEG
+    restore, 5-column normalized labels (polygon rows folded to boxes),
+    class range, duplicate-row dedup.
+    """
+    nm = nf = ne = nc_bad = 0
+    msg = ""
+    try:
+        from PIL import Image, ImageOps
+        with Image.open(img_path) as im:
+            im.verify()  # cheap corruption check (no full decode)
+            w, h = exif_size(im)
+            fmt = (im.format or "").lower()
+        assert h > 9 and w > 9, f"image size {w}x{h} <10 pixels"
+        assert fmt in IMG_FORMATS, f"invalid image format {fmt}"
+        if fmt in ("jpg", "jpeg"):
+            with open(img_path, "rb") as f:
+                f.seek(-2, 2)
+                if f.read() != b"\xff\xd9":  # truncated JPEG: restore
+                    from PIL import ImageFile
+                    old = ImageFile.LOAD_TRUNCATED_IMAGES
+                    ImageFile.LOAD_TRUNCATED_IMAGES = True  # decode what's there
+                    try:
+                        ImageOps.exif_transpose(Image.open(img_path)).save(
+                            img_path, "JPEG", subsampling=0, quality=100)
+                    finally:
+                        ImageFile.LOAD_TRUNCATED_IMAGES = old
+                    msg = f"{img_path}: corrupt JPEG restored and saved"
+
         lp = Path(label_path)
         if lp.is_file():
-            rows = [l.split() for l in lp.read_text().splitlines() if l.strip()]
-            for r in rows:
-                if len(r) < 5:
-                    return False, f"label row with {len(r)} fields in {label_path}"
-                c = float(r[0])
-                if not c.is_integer() or not 0 <= int(c) < num_cls:
-                    return False, f"class {c} out of range [0, {num_cls})"
-                vals = np.asarray(r[1:5], np.float32)
-                if (vals < 0).any() or (vals > 1).any():
-                    return False, f"non-normalized coords in {label_path}"
-        return True, ""
+            nf = 1
+            rows = [l.split() for l in lp.read_text().strip().splitlines()
+                    if l.strip()]
+            if any(len(r) > 6 for r in rows):  # polygon rows -> boxes
+                classes = np.asarray([r[0] for r in rows], np.float32)
+                segs = [np.asarray(r[1:], np.float32).reshape(-1, 2)
+                        for r in rows]
+                lb = np.concatenate(
+                    [classes.reshape(-1, 1), segments2boxes(segs)], 1)
+            else:
+                lb = np.asarray(rows, np.float32).reshape(-1, 5)
+            if len(lb):
+                assert lb.shape[1] == 5, f"labels require 5 columns, got {lb.shape[1]}"
+                assert (lb[:, 1:] <= 1).all(), "non-normalized coordinates"
+                assert (lb >= 0).all(), "negative label values"
+                if num_cls is not None:
+                    assert int(lb[:, 0].max()) < num_cls, \
+                        f"class {int(lb[:, 0].max())} exceeds nc={num_cls}"
+                _, idx = np.unique(lb, axis=0, return_index=True)
+                if len(idx) < len(lb):
+                    lb = lb[np.sort(idx)]
+                    msg = f"{img_path}: duplicate labels removed"
+            else:
+                ne = 1
+                lb = np.zeros((0, 5), np.float32)
+        else:
+            nm = 1
+            lb = np.zeros((0, 5), np.float32)
+        rec = {"im_file": str(img_path), "shape": (h, w),
+               "cls": lb[:, 0].copy(), "xywh": lb[:, 1:5].copy()}
+        return rec, nm, nf, ne, nc_bad, msg
     except Exception as e:
-        return False, str(e)
+        return None, nm, nf, ne, 1, f"{img_path}: ignoring corrupt image/label: {e}"
+
+
+def scan_labels(im_files: List[str], label_files: List[str],
+                cache_path: Path, num_cls: Optional[int] = None,
+                workers: int = 8) -> List[Dict]:
+    """Hash-validated label scan (reference dataset.py:41-142): load the
+    sidecar cache when its version and file-set hash match, else verify
+    every image/label pair on a thread pool and rewrite the cache. Corrupt
+    pairs are dropped with a warning, never fatal."""
+    want_hash = get_hash(list(label_files) + list(im_files))
+    try:
+        cache = np.load(str(cache_path), allow_pickle=True).item()
+        if cache.get("version") == CACHE_VERSION and cache.get("hash") == want_hash:
+            LOGGER.info(f"dataset: loaded label cache {cache_path} "
+                        f"({len(cache['labels'])} images)")
+            return cache["labels"]
+    except (FileNotFoundError, OSError, ValueError, AttributeError):
+        pass
+
+    with ThreadPool(max(1, workers)) as pool:
+        results = pool.starmap(
+            verify_image_label,
+            [(im, lb, num_cls) for im, lb in zip(im_files, label_files)])
+    labels, msgs = [], []
+    nm = nf = ne = ncorrupt = 0
+    for rec, m, f, e, c, msg in results:
+        nm += m
+        nf += f
+        ne += e
+        ncorrupt += c
+        if rec is not None:
+            labels.append(rec)
+        if msg:
+            msgs.append(msg)
+    for m in msgs[:10]:
+        LOGGER.warning(m)
+    LOGGER.info(f"dataset scan: {nf} labels, {nm + ne} backgrounds, "
+                f"{ncorrupt} corrupt")
+    cache = {"labels": labels, "hash": want_hash, "version": CACHE_VERSION,
+             "results": (nf, nm, ne, ncorrupt, len(im_files)), "msgs": msgs}
+    try:
+        np.save(str(cache_path), cache)
+        cache_path.with_suffix(cache_path.suffix + ".npy").rename(cache_path)
+        LOGGER.info(f"dataset: new label cache {cache_path}")
+    except OSError:
+        LOGGER.warning(f"cache dir not writeable: {cache_path.parent}")
+    return labels
 
 
 def polygon2mask(imgsz: Tuple[int, int], polygons: List[np.ndarray],
