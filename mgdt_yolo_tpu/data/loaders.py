@@ -96,6 +96,43 @@ class LoadStreams:
             cap.release()
 
 
+class LoadScreenshots:
+    """`source='screen [screen] [left top width height]'` capture via mss
+    (reference stream_loaders.py:109-148). mss is not baked into this image;
+    the loader raises a clear error at construction when it is absent."""
+
+    def __init__(self, source: str, max_frames: int = 0):
+        try:
+            import mss
+        except ImportError as e:
+            raise ImportError(
+                "screenshot capture requires the 'mss' package") from e
+        _, *params = str(source).split()
+        self.screen, left, top, width, height = 0, None, None, None, None
+        if len(params) == 1:
+            self.screen = int(params[0])
+        elif len(params) == 4:
+            left, top, width, height = (int(x) for x in params)
+        elif len(params) == 5:
+            self.screen, left, top, width, height = (int(x) for x in params)
+        self.sct = mss.mss()
+        mon = self.sct.monitors[self.screen]
+        self.monitor = {
+            "left": mon["left"] if left is None else mon["left"] + left,
+            "top": mon["top"] if top is None else mon["top"] + top,
+            "width": width or mon["width"],
+            "height": height or mon["height"]}
+        self.max_frames = max_frames  # 0 = endless, like the reference
+
+    def __iter__(self) -> Iterator[Dict]:
+        i = 0
+        while not self.max_frames or i < self.max_frames:
+            im = np.array(self.sct.grab(self.monitor))[:, :, :3]  # BGRA->BGR
+            yield {"img": im, "path": f"screen_{self.screen}", "frame_idx": i,
+                   "is_video": True, "fps": 30}
+            i += 1
+
+
 class LoadPilAndNumpy:
     """In-memory arrays / PIL images (stream_loaders.py:254-294)."""
 
@@ -121,6 +158,8 @@ def load_inference_source(source, vid_stride: int = 1):
              (isinstance(source[0], np.ndarray) or hasattr(source[0], "mode"))):
         return LoadPilAndNumpy(source)
     s = str(source)
+    if s.startswith("screen"):
+        return LoadScreenshots(s)
     if s.isdigit() or s.startswith(("rtsp://", "rtmp://", "http://", "https://")):
         return LoadStreams(s, vid_stride)
     return LoadImagesAndVideos(source, vid_stride)

@@ -95,8 +95,15 @@ class Exporter(CallbackMixin):
             decoded, _ = mh.model.apply(variables, img, train=False)
             return decoded
 
-        x = jax.ShapeDtypeStruct((1, imgsz, imgsz, 3), jnp.float32)
-        exported = jexport.export(jax.jit(forward))(x)
+        try:
+            # batch-polymorphic artifact: one export serves every batch size
+            (b,) = jexport.symbolic_shape("b")
+            x = jax.ShapeDtypeStruct((b, imgsz, imgsz, 3), jnp.float32)
+            exported = jexport.export(jax.jit(forward))(x)
+        except Exception:  # model not symbolic-batch traceable: pin batch
+            batch = int(getattr(self.args, "batch", 1) or 1)
+            x = jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3), jnp.float32)
+            exported = jexport.export(jax.jit(forward))(x)
         blob = exported.serialize()
         out = self.out_dir / f"{self.stem}.stablehlo"
         out.write_bytes(blob)

@@ -157,6 +157,18 @@ class YOLO:
         from ..utils.benchmarks import benchmark
         return benchmark(self, **kwargs)
 
+    def tune(self, data: str = "synthetic", space: Optional[Dict] = None,
+             grace_period: int = 10, max_samples: int = 10,
+             train_args: Optional[Dict] = None, **kwargs):
+        """Hyperparameter tuning (reference YOLO.tune, model.py:391-474):
+        Ray Tune ASHA when ray is installed, else the built-in seeded
+        random search over the same space."""
+        from ..utils.tuner import run_ray_tune
+        return run_ray_tune(self, data=data, space=space,
+                            grace_period=grace_period,
+                            max_samples=max_samples, train_args=train_args,
+                            **kwargs)
+
     # ---- info ------------------------------------------------------------
     @property
     def names(self):

@@ -63,6 +63,13 @@ class AutoBackend:
             return np.asarray(jax.device_get(self._fn(self._vs, img)))
         return np.asarray(self._fn(img))
 
+    def forward_device(self, img):
+        """Jit-nestable forward: returns the device array, no host copy —
+        use when embedding the backend inside another jitted program."""
+        if self.kind == "flax":
+            return self._fn(self._vs, img)
+        return self._fn(img)
+
     __call__ = forward
 
     def warmup(self, batch: int = 1):

@@ -136,6 +136,26 @@ class C3x(C3):
     k: Tuple[Tuple[int, int], Tuple[int, int]] = ((1, 3), (3, 1))
 
 
+class C3TR(nn.Module):
+    """C3 with a TransformerBlock inner branch (reference block.py:476-483)."""
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .transformer import TransformerBlock
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        a = TransformerBlock(c_, 4, self.n, dtype=self.dtype, name="m")(a, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([a, b], axis=-1), train)
+
+
 class GhostBottleneck(nn.Module):
     """Ghost bottleneck (block.py:492-511)."""
     c2: int

@@ -95,6 +95,85 @@ class Conv(nn.Module):
         return get_act(self.act)(y)
 
 
+class Conv2(nn.Module):
+    """RepConv-style parallel kxk + 1x1 conv sharing one BN + act
+    (reference conv.py:45-63); fuse folds cv2 into the center tap."""
+    c2: int
+    k: int = 3
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    act: Union[bool, str, Callable] = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k, self.p, self.d)
+        y = nn.Conv(self.c2, (self.k, self.k), strides=self.s,
+                    padding=[(pad, pad), (pad, pad)],
+                    feature_group_count=self.g, kernel_dilation=self.d,
+                    use_bias=False, kernel_init=torch_conv_init,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+        p1 = autopad(1, self.p, self.d)
+        y = y + nn.Conv(self.c2, (1, 1), strides=self.s,
+                        padding=[(p1, p1), (p1, p1)],
+                        feature_group_count=self.g, kernel_dilation=self.d,
+                        use_bias=False, kernel_init=torch_conv_init,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name="cv2")(x)
+        y = BN(dtype=self.dtype, name="norm")(y, train)
+        return get_act(self.act)(y)
+
+
+class DWConvTranspose2d(nn.Module):
+    """Depthwise transposed conv, groups=gcd(c1,c2) (reference conv.py:89-94).
+
+    One (kh, kw, c1, c2/g) kernel (the flipped/transposed image of torch's
+    grouped (c1, c2/g, kh, kw) weight) applied per group via vmapped
+    lax.conv_transpose — flax has no grouped ConvTranspose."""
+    c2: int
+    k: int = 1
+    s: int = 1
+    p1: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import jax
+        import jax.lax as lax
+        c1 = x.shape[-1]
+        g = math.gcd(c1, self.c2)
+        cin_g, cout_g = c1 // g, self.c2 // g
+        kernel = self.param(
+            "kernel",
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32,
+                -math.sqrt(1.0 / (self.k * self.k * cin_g)),
+                math.sqrt(1.0 / (self.k * self.k * cin_g))),
+            (self.k, self.k, c1, cout_g))
+        bias = self.param("bias", nn.initializers.zeros, (self.c2,))
+        b, h, w, _ = x.shape
+        xg = x.reshape(b, h, w, g, cin_g).transpose(3, 0, 1, 2, 4)
+        kg = kernel.reshape(self.k, self.k, g, cin_g, cout_g) \
+            .transpose(2, 0, 1, 3, 4)
+        # torch ConvTranspose2d(padding=p) == lax.conv_transpose padded
+        # k-1-p on the stride-dilated input (verified vs torch)
+        pp = self.k - 1 - self.p1
+        pad = [(pp, pp), (pp, pp)]
+
+        def one(xx, kk):
+            return lax.conv_transpose(
+                xx.astype(self.dtype), kk.astype(self.dtype),
+                (self.s, self.s), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        out = jax.vmap(one)(xg, kg)  # (g, b, oh, ow, cout_g)
+        out = out.transpose(1, 2, 3, 0, 4).reshape(b, out.shape[2],
+                                                   out.shape[3], self.c2)
+        return out + bias.astype(out.dtype)
+
+
 class DWConv(nn.Module):
     """Depthwise conv: groups = gcd(c1, c2). Reference conv.py:83-88."""
     c2: int
@@ -136,8 +215,11 @@ class ConvTranspose(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # torch ConvTranspose2d(padding=p) == flax padded k-1-p on the
+        # stride-dilated input (verified numerically vs torch)
+        pp = self.k - 1 - self.p
         y = nn.ConvTranspose(self.c2, (self.k, self.k), strides=(self.s, self.s),
-                             padding=[(self.p, self.p), (self.p, self.p)],
+                             padding=[(pp, pp), (pp, pp)],
                              use_bias=not self.bn, dtype=self.dtype,
                              param_dtype=jnp.float32, name="conv_transpose")(x)
         if self.bn:

@@ -51,11 +51,13 @@ class LayerSpec:
 
 
 # Module sets sharing the conv-style channel arithmetic (reference tasks.py:637-645)
-_CONV_LIKE = {"Classify", "Conv", "ConvTranspose", "GhostConv", "Bottleneck",
-              "GhostBottleneck", "SPP", "SPPF", "DWConv", "Focus", "BottleneckCSP",
-              "C1", "C2", "C2f", "MSPA_C2f", "C3", "C3x", "C3Ghost", "RepC3"}
+_CONV_LIKE = {"Classify", "Conv", "Conv2", "ConvTranspose", "DWConvTranspose2d",
+              "GhostConv", "Bottleneck", "GhostBottleneck", "SPP", "SPPF",
+              "DWConv", "Focus", "BottleneckCSP",
+              "C1", "C2", "C2f", "MSPA_C2f", "C3", "C3x", "C3Ghost", "C3TR",
+              "RepC3"}
 _REPEAT_BLOCKS = {"BottleneckCSP", "C1", "C2", "C2f", "MSPA_C2f", "C3", "C3x",
-                  "C3Ghost", "RepC3"}
+                  "C3Ghost", "C3TR", "RepC3"}
 _HEADS = {"Detect", "Segment", "Pose", "TOODHead"}
 
 
@@ -164,11 +166,18 @@ def build_module(spec: LayerSpec, dtype, strides: Optional[Tuple[int, ...]],
         k = a[2] if len(a) > 2 else 1
         s = a[3] if len(a) > 3 else 1
         return C.Conv(a[1], k, s, dtype=dtype, name=name)
+    if m == "Conv2":
+        return C.Conv2(a[1], a[2] if len(a) > 2 else 3,
+                       a[3] if len(a) > 3 else 1, dtype=dtype, name=name)
     if m == "DWConv":
         return C.DWConv(a[1], a[2] if len(a) > 2 else 1, a[3] if len(a) > 3 else 1,
                         dtype=dtype, name=name)
     if m == "ConvTranspose":
         return C.ConvTranspose(a[1], *(a[2:]), dtype=dtype, name=name)
+    if m == "DWConvTranspose2d":
+        return C.DWConvTranspose2d(a[1], *(a[2:]), dtype=dtype, name=name)
+    if m == "C3TR":
+        return B.C3TR(a[1], n=a[2], dtype=dtype, name=name)
     if m == "Focus":
         return C.Focus(a[1], a[2] if len(a) > 2 else 1, dtype=dtype, name=name)
     if m == "GhostConv":
@@ -494,6 +503,66 @@ class DetectionModel(BaseModel):
         """Training forward returning raw per-scale maps (+ updated BN stats)."""
         out, updates = self.model.apply(variables, x, train=train, mutable=["batch_stats"])
         return out[1], updates
+
+
+class Ensemble:
+    """NMS-ensemble of model holders: decoded outputs concatenated along the
+    anchor axis (reference nn/tasks.py Ensemble + attempt_load_weights,
+    :514-574). Quacks like a model holder for the predictor/validator."""
+
+    def __init__(self, members):
+        assert members and all(m.nc == members[0].nc for m in members), \
+            f"models differ in class counts {[m.nc for m in members]}"
+        self.members = members
+        self.nc = members[0].nc
+        self.names = members[0].names
+        self.task = getattr(members[0], "task", "detect")
+        self.reg_max = members[0].reg_max
+        # reference: stride of the max-stride member (tasks.py:572)
+        self.stride = max((m.stride for m in members), key=max)
+        self.variables = {}  # members carry their own parameters
+        ens = self
+
+        class _Apply:
+            @staticmethod
+            def apply(variables, x, train=False, **kw):
+                outs = [m.model.apply(m.variables, x, train=False)[0]
+                        for m in ens.members]
+                return jnp.concatenate(outs, axis=-1), None
+
+        self.model = _Apply()
+
+    def __len__(self):
+        return len(self.members)
+
+    def predict(self, x, variables=None):
+        return self.model.apply(None, x)
+
+    def fuse(self):
+        for m in self.members:
+            m.fuse()
+        return self
+
+
+def attempt_load_one_weight(weight, fuse: bool = False):
+    """Load one model holder from a checkpoint (orbax dir / torch .pt) or an
+    architecture YAML (reference attempt_load_one_weight, tasks.py:577-601)."""
+    from ..engine.model import YOLO
+    holder = YOLO(str(weight)).model
+    if fuse:
+        holder.fuse()
+    return holder
+
+
+def attempt_load_weights(weights, fuse: bool = False):
+    """Load a single model or an NMS-ensemble from a list of checkpoints
+    (reference attempt_load_weights, nn/tasks.py:537-574)."""
+    ws = weights if isinstance(weights, (list, tuple)) else [weights]
+    members = [attempt_load_one_weight(w, fuse=fuse) for w in ws]
+    if len(members) == 1:
+        return members[0]
+    LOGGER.info(f"Ensemble created with {list(ws)}")
+    return Ensemble(members)
 
 
 class SegmentationModel(DetectionModel):

@@ -72,6 +72,7 @@ def translate_key(tkey: str) -> Tuple[Tuple[str, ...], object, str] | None:
     k = re.sub(r"\b(cv2|cv3|cv4)\.(\d+)\.(\d+)\.", r"\1_\2_\3.", k)   # head towers
     k = re.sub(r"\b(cv2|cv3|cv4)\.(\d+)\.(\d+)$", r"\1_\2_\3", k)
     k = re.sub(r"\bm\.(\d+)\.", r"m_\1.", k)                           # CSP bottlenecks
+    k = re.sub(r"\btr\.(\d+)\.", r"tr_\1.", k)                         # TransformerBlock layers
     k = re.sub(r"\bconvs\.(\d+)\.", r"convs_\1.", k)                   # MSPA convs
     k = re.sub(r"\bbottleneck\.(\d+)\.", r"bottleneck_\1.", k)         # MSPA bottlenecks
     k = re.sub(r"\bshare_conv\.(\d+)\.", r"share_conv_\1.", k)         # TOOD tower
@@ -183,6 +184,31 @@ def load_torch_state_dict(variables: Dict, state_dict: Mapping[str, np.ndarray],
     matched, shape_miss, name_miss = [], [], []
     for tkey, arr in state_dict.items():
         arr = np.asarray(arr)
+        # torch nn.MultiheadAttention packs qkv into in_proj_*: split thirds
+        # into our q_proj/k_proj/v_proj Dense params
+        if tkey.endswith(("in_proj_weight", "in_proj_bias")):
+            base = tkey.rsplit(".", 1)[0]
+            anchor = translate_key(base + ".out_proj.weight")
+            if anchor is not None:
+                ma_path = anchor[0][:-2]
+                third = arr.shape[0] // 3
+                is_w = tkey.endswith("weight")
+                ok_all = True
+                for i, nm in enumerate(("q_proj", "k_proj", "v_proj")):
+                    part = arr[i * third:(i + 1) * third]
+                    val = _linear_w(part) if is_w else part
+                    leaf = "kernel" if is_w else "bias"
+                    dst = _get(out.get("params", {}), ma_path + (nm, leaf))
+                    if dst is None or tuple(np.shape(dst)) != tuple(val.shape):
+                        ok_all = False
+                        break
+                    _set(out["params"], ma_path + (nm, leaf),
+                         val.astype(np.asarray(dst).dtype))
+                if ok_all:
+                    matched.append(tkey)
+                else:
+                    name_miss.append(tkey)
+                continue
         tr = translate_key(tkey)
         if tr is None:
             continue
@@ -201,8 +227,15 @@ def load_torch_state_dict(variables: Dict, state_dict: Mapping[str, np.ndarray],
             continue
         val = tf(arr) if tf else arr
         if tuple(np.shape(dst)) != tuple(val.shape):
-            shape_miss.append((tkey, tuple(val.shape), tuple(np.shape(dst))))
-            continue
+            # 4D mismatch fallback: a ConvTranspose2d weight reached the
+            # generic conv rule (torch layout (in, out, kh, kw), needs the
+            # transpose+flip mapping) — e.g. grouped DWConvTranspose2d
+            if arr.ndim == 4 and tuple(np.shape(dst)) == tuple(
+                    _convT_w(arr).shape):
+                val = _convT_w(arr)
+            else:
+                shape_miss.append((tkey, tuple(val.shape), tuple(np.shape(dst))))
+                continue
         _set(out[coll], path, val.astype(np.asarray(dst).dtype
                                          if hasattr(dst, "dtype") else np.float32))
         matched.append(tkey)

@@ -73,13 +73,42 @@ def run_tune(model, data: str = "synthetic", n_trials: int = 10,
     return best_cfg, best_fit, history
 
 
-def run_ray_tune(model, **kwargs):
-    """Delegate to Ray Tune when installed (reference YOLO.tune,
-    model.py:391-474); falls back to run_tune otherwise."""
+def run_ray_tune(model, data: str = "synthetic", space: Optional[Dict] = None,
+                 grace_period: int = 10, max_samples: int = 10,
+                 train_args: Optional[Dict] = None, **kwargs):
+    """Ray Tune ASHA search when ray is importable (reference YOLO.tune,
+    engine/model.py:391-474); falls back to the built-in seeded random
+    search otherwise."""
     try:
-        import ray  # noqa: F401
+        from ray import tune
+        from ray.air import RunConfig
+        from ray.tune.schedulers import ASHAScheduler
     except ImportError:
         LOGGER.info("ray not installed; using built-in random search")
-        return run_tune(model, **kwargs)
-    raise NotImplementedError(
-        "Ray Tune delegation requires a ray cluster; use run_tune here")
+        return run_tune(model, data=data, n_trials=max_samples,
+                        **(train_args or {}), **kwargs)
+
+    train_args = train_args or {}
+    if space is None:
+        space = {k: tune.uniform(lo, hi) for k, (lo, hi, _) in
+                 SEARCH_SPACE.items()}
+    space["data"] = data
+
+    def _trainable(config):
+        config = dict(config)
+        config.update(train_args)
+        metrics = model.train(**config)
+        from ray.air import session
+        session.report({"fitness": float(metrics.get("fitness", 0.0))})
+
+    scheduler = ASHAScheduler(time_attr="epoch", metric="fitness",
+                              mode="max",
+                              max_t=train_args.get("epochs") or 100,
+                              grace_period=grace_period, reduction_factor=3)
+    tuner = tune.Tuner(
+        _trainable, param_space=space,
+        tune_config=tune.TuneConfig(scheduler=scheduler,
+                                    num_samples=max_samples),
+        run_config=RunConfig(local_dir="./runs"))
+    tuner.fit()
+    return tuner.get_results()
