@@ -75,8 +75,13 @@ class SAM:
     """
 
     def __init__(self, model: str = "sam_b", img_size: int = 1024,
-                 dtype=jnp.float32, seed: int = 0):
-        arch = str(model).replace(".pt", "").replace("-", "_")
+                 dtype=jnp.float32, seed: int = 0, weights: Optional[str] = None):
+        from pathlib import Path
+        ckpt = None
+        name = str(model)
+        if name.endswith(".pt") and Path(name).is_file():
+            ckpt = name  # reference usage: SAM('sam_b.pt') loads the ckpt
+        arch = Path(name).stem.replace("-", "_")
         if arch not in SAM_ARCHS:
             raise ValueError(f"unknown SAM variant {model!r}; "
                              f"choose from {list(SAM_ARCHS)}")
@@ -95,6 +100,22 @@ class SAM:
             vs, emb, p, l, method=Sam.decode))
         n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.variables))
         LOGGER.info(f"SAM {arch}: {n:,} parameters @ {img_size}px")
+        for w in (ckpt, weights):
+            if w is not None:
+                self.load(w)
+
+    def load(self, weights) -> dict:
+        """Import a torch SAM checkpoint (path to .pt, or a flat numpy
+        state_dict) — reference build.py:105-129 loads the pickled
+        state_dict into the torch modules; this maps it into the flax tree
+        (vit/sam/weights.py)."""
+        from ...utils.torch_import import load_torch_pt
+        from .weights import load_sam_state_dict
+        sd = weights
+        if isinstance(sd, (str, bytes)) or hasattr(sd, "__fspath__"):
+            sd, _ = load_torch_pt(str(sd))
+        self.variables, report = load_sam_state_dict(self.variables, sd)
+        return report
 
     # ---- prompted prediction --------------------------------------------
     def predict(self, image: np.ndarray, points=None, labels=None,

@@ -224,6 +224,13 @@ class PromptEncoder(nn.Module):
         B = 1
         if points is not None:
             B = points.shape[0]
+            if boxes is None:
+                # reference pads a (0,0)/label -1 token when no boxes
+                # accompany the points (encoders.py _embed_points pad=True)
+                points = jnp.concatenate(
+                    [points, jnp.zeros((B, 1, 2), points.dtype)], axis=1)
+                labels = jnp.concatenate(
+                    [labels, -jnp.ones((B, 1), labels.dtype)], axis=1)
             coords = (points + 0.5) / jnp.asarray(
                 [self.input_image_size[1], self.input_image_size[0]], jnp.float32)
             pe = self._pe_encoding(coords)
@@ -287,7 +294,8 @@ class TwoWayBlock(nn.Module):
 
     @nn.compact
     def __call__(self, queries, keys, query_pe, key_pe):
-        ln = lambda n: nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name=n)
+        ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                    param_dtype=jnp.float32, name=n)  # torch LN default eps
         if self.skip_first_layer_pe:
             queries = TwoWayAttention(self.dim, self.num_heads, dtype=self.dtype,
                                       name="self_attn")(queries, queries, queries)
@@ -338,7 +346,8 @@ class TwoWayTransformer(nn.Module):
         queries = queries + TwoWayAttention(self.dim, self.num_heads, 2,
                                             dtype=self.dtype,
                                             name="final_attn")(q, k, keys)
-        queries = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        queries = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                               param_dtype=jnp.float32,
                                name="norm_final")(queries)
         return queries, keys
 
