@@ -14,7 +14,7 @@ automatically global — no cross-replica sync code needed.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence, Union
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -33,18 +33,35 @@ def silu(x):
     return x * nn.sigmoid(x)
 
 
+# YAML-wide default activation override (reference Conv.default_act swap in
+# parse_model when the yaml carries an `activation:` key, tasks.py:616-620).
+# Trace-time state: GraphModel sets it for the duration of one trace.
+_DEFAULT_ACT: list = [silu]
+
+
+def set_default_act(act) -> Callable:
+    """Set the activation `act=True` resolves to; returns the previous one."""
+    prev = _DEFAULT_ACT[0]
+    _DEFAULT_ACT[0] = get_act(act) if act is not True else silu
+    return prev
+
+
 def get_act(act: Union[bool, str, Callable]) -> Callable:
-    """Resolve an activation spec: True -> SiLU, False -> identity, str -> named."""
+    """Resolve an activation spec: True -> default (SiLU unless the model
+    yaml overrides), False -> identity, str -> named."""
     if act is True:
-        return silu
+        return _DEFAULT_ACT[0]
     if act is False or act is None:
         return lambda x: x
     if callable(act):
         return act
+    s = str(act).lower().replace("nn.", "").replace("()", "")
     table = {"silu": silu, "relu": nn.relu, "relu6": lambda x: jnp.clip(x, 0, 6),
              "gelu": nn.gelu, "sigmoid": nn.sigmoid, "identity": lambda x: x,
-             "lrelu": lambda x: nn.leaky_relu(x, 0.1)}
-    return table[str(act).lower()]
+             "lrelu": lambda x: nn.leaky_relu(x, 0.1),
+             "leakyrelu": lambda x: nn.leaky_relu(x, 0.1),
+             "leakyrelu(0.1)": lambda x: nn.leaky_relu(x, 0.1)}
+    return table[s]
 
 
 def torch_conv_init(key, shape, dtype=jnp.float32):
@@ -201,6 +218,32 @@ class LightConv(nn.Module):
     def __call__(self, x, train: bool = False):
         y = Conv(self.c2, 1, act=False, dtype=self.dtype, name="conv1")(x, train)
         return DWConv(self.c2, self.k, act=self.act, dtype=self.dtype, name="conv2")(y, train)
+
+
+class MaxPool2d(nn.Module):
+    """torch nn.MaxPool2d analog over NHWC (used by the v3/v5 yamls)."""
+    k: int
+    s: int
+    p: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import jax.lax as lax
+        neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) \
+            else jnp.iinfo(x.dtype).min
+        return lax.reduce_window(
+            x, neg, lax.max, (1, self.k, self.k, 1), (1, self.s, self.s, 1),
+            [(0, 0), (self.p, self.p), (self.p, self.p), (0, 0)])
+
+
+class ZeroPad2d(nn.Module):
+    """torch nn.ZeroPad2d analog; pad = (left, right, top, bottom)."""
+    pad: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        l, r, t, b = self.pad
+        return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
 
 
 class ConvTranspose(nn.Module):

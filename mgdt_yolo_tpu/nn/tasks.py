@@ -52,8 +52,9 @@ class LayerSpec:
 
 # Module sets sharing the conv-style channel arithmetic (reference tasks.py:637-645)
 _CONV_LIKE = {"Classify", "Conv", "Conv2", "ConvTranspose", "DWConvTranspose2d",
-              "GhostConv", "Bottleneck", "GhostBottleneck", "SPP", "SPPF",
-              "DWConv", "Focus", "BottleneckCSP",
+              "nn.ConvTranspose2d", "GhostConv", "Bottleneck",
+              "GhostBottleneck", "SPP", "SPPF", "DWConv", "Focus",
+              "BottleneckCSP",
               "C1", "C2", "C2f", "MSPA_C2f", "C3", "C3x", "C3Ghost", "C3TR",
               "RepC3"}
 _REPEAT_BLOCKS = {"BottleneckCSP", "C1", "C2", "C2f", "MSPA_C2f", "C3", "C3x",
@@ -143,7 +144,13 @@ def parse_model(d: Dict, ch: int = 3, verbose: bool = True
         def _freeze(a):
             return tuple(_freeze(x) for x in a) if isinstance(a, list) else a
 
-        spec = LayerSpec(i=i, f=tuple(f) if isinstance(f, list) else f, n=n,
+        # normalize relative refs other than -1 (v3/v5 heads use -2) to
+        # absolute layer indices so the runtime only special-cases -1
+        def _abs(j):
+            return j if j == -1 else (j % i if j < 0 else j)
+
+        f_norm = tuple(_abs(j) for j in f) if isinstance(f, list) else _abs(f)
+        spec = LayerSpec(i=i, f=f_norm, n=n,
                          name=m, args=tuple(_freeze(a) for a in args), c2=c2 or 0)
         specs.append(spec)
         save.extend(x % i for x in spec.from_list if x != -1)
@@ -152,8 +159,9 @@ def parse_model(d: Dict, ch: int = 3, verbose: bool = True
         if i == 0:
             chs = []
         chs.append(c2 if c2 else chs[-1] if chs else ch)
-    return tuple(specs), tuple(sorted(set(save))), {"nc": nc, "depth": depth,
-                                                    "width": width}
+    return tuple(specs), tuple(sorted(set(save))), {
+        "nc": nc, "depth": depth, "width": width,
+        "act": d.get("activation")}  # e.g. 'nn.ReLU()' in the v6 yaml
 
 
 def build_module(spec: LayerSpec, dtype, strides: Optional[Tuple[int, ...]],
@@ -163,19 +171,40 @@ def build_module(spec: LayerSpec, dtype, strides: Optional[Tuple[int, ...]],
     name = name or f"model_{spec.i}"
     m = spec.name
     if m == "Conv":
+        # full arg tuple (c2, k, s, p, g, d, act) — rtdetr input_proj uses
+        # Conv [256, 1, 1, None, 1, 1, False]
         k = a[2] if len(a) > 2 else 1
         s = a[3] if len(a) > 3 else 1
-        return C.Conv(a[1], k, s, dtype=dtype, name=name)
+        p = a[4] if len(a) > 4 else None  # v5 stem: Conv [64, 6, 2, 2]
+        g = a[5] if len(a) > 5 else 1
+        d = a[6] if len(a) > 6 else 1
+        act = a[7] if len(a) > 7 else True
+        return C.Conv(a[1], k, s, p=p, g=g, d=d, act=act, dtype=dtype,
+                      name=name)
     if m == "Conv2":
         return C.Conv2(a[1], a[2] if len(a) > 2 else 3,
                        a[3] if len(a) > 3 else 1, dtype=dtype, name=name)
     if m == "DWConv":
-        return C.DWConv(a[1], a[2] if len(a) > 2 else 1, a[3] if len(a) > 3 else 1,
+        # (c2, k, s, d, act) — rtdetr downsamplers use DWConv [.., 1, False]
+        return C.DWConv(a[1], a[2] if len(a) > 2 else 1,
+                        a[3] if len(a) > 3 else 1,
+                        d=a[4] if len(a) > 4 else 1,
+                        act=a[5] if len(a) > 5 else True,
                         dtype=dtype, name=name)
     if m == "ConvTranspose":
         return C.ConvTranspose(a[1], *(a[2:]), dtype=dtype, name=name)
     if m == "DWConvTranspose2d":
         return C.DWConvTranspose2d(a[1], *(a[2:]), dtype=dtype, name=name)
+    if m == "nn.ConvTranspose2d":  # bare deconv, no BN/act (v6 head)
+        return C.ConvTranspose(a[1], a[2] if len(a) > 2 else 2,
+                               a[3] if len(a) > 3 else 2,
+                               a[4] if len(a) > 4 else 0,
+                               bn=False, act=False, dtype=dtype, name=name)
+    if m == "nn.MaxPool2d":  # args (k, s, p) — torch order (v3-tiny)
+        return C.MaxPool2d(a[0], a[1] if len(a) > 1 else a[0],
+                           a[2] if len(a) > 2 else 0, name=name)
+    if m == "nn.ZeroPad2d":
+        return C.ZeroPad2d(tuple(a[0]), name=name)
     if m == "C3TR":
         return B.C3TR(a[1], n=a[2], dtype=dtype, name=name)
     if m == "Focus":
@@ -308,9 +337,19 @@ class GraphModel(nn.Module):
     save: Tuple[int, ...]
     strides: Optional[Tuple[int, ...]] = None
     dtype: Any = jnp.float32
+    act: Optional[str] = None  # yaml-wide default activation override
 
     @nn.compact
     def __call__(self, x, train: bool = False, head_kwargs=None):
+        from .modules.conv import set_default_act
+        prev_act = set_default_act(self.act) if self.act else None
+        try:
+            return self._run(x, train, head_kwargs)
+        finally:
+            if prev_act is not None:
+                set_default_act(prev_act)
+
+    def _run(self, x, train, head_kwargs):
         saved = {}
         out = x.astype(self.dtype)
         last = self.specs[-1].i
@@ -350,9 +389,10 @@ def yaml_model_load(path) -> Dict:
     """Load a model YAML, resolving scale suffix and package model zoo paths."""
     path = Path(str(path))
     unified = re.sub(r"(\d+)([nslmx])(.+)?$", r"\1\3", str(path))
-    candidates = [Path(unified), path,
-                  PKG_ROOT / "models" / "v8" / Path(unified).name,
-                  PKG_ROOT / "models" / "v8" / path.name]
+    zoo = [PKG_ROOT / "models" / v
+           for v in ("v8", "v5", "v3", "v6", "rt-detr")]
+    candidates = [Path(unified), path] + \
+        [d / Path(unified).name for d in zoo] + [d / path.name for d in zoo]
     for cand in candidates:
         if Path(cand).is_file():
             d = yaml_load(cand)
@@ -397,6 +437,7 @@ class DetectionModel(BaseModel):
             self.yaml["nc"] = nc
         self.specs, self.save, meta = parse_model(self.yaml, ch, verbose=verbose)
         self.nc = meta["nc"]
+        self.act = meta.get("act")
         self.dtype = dtype
         head = self.specs[-1]
         self.head_name = head.name
@@ -408,14 +449,16 @@ class DetectionModel(BaseModel):
             self.stride = (32,)  # reference default for non-Detect heads (tasks.py:248)
         else:
             # stride discovery: shape-only trace of a 640px dummy forward
-            probe = GraphModel(self.specs, self.save, strides=None, dtype=dtype)
+            probe = GraphModel(self.specs, self.save, strides=None, dtype=dtype,
+                               act=self.act)
             dummy = jnp.zeros((1, 640, 640, ch), dtype)
             out_shape = jax.eval_shape(
                 lambda k, x: probe.init_with_output(k, x, train=True), key, dummy)[0]
             feats = self._head_feats(out_shape)
             self.stride = tuple(int(640 / f.shape[1]) for f in feats)
 
-        self.model = GraphModel(self.specs, self.save, strides=self.stride, dtype=dtype)
+        self.model = GraphModel(self.specs, self.save, strides=self.stride,
+                                 dtype=dtype, act=self.act)
         self.variables = unfreeze(jax.device_get(
             fast_init(self.model, key, jnp.zeros((1, 64, 64, ch), dtype))))
         self._bias_init()
@@ -583,9 +626,11 @@ class ClassificationModel(BaseModel):
             self.yaml["nc"] = nc
         self.specs, self.save, meta = parse_model(self.yaml, ch, verbose=verbose)
         self.nc = meta["nc"]
+        self.act = meta.get("act")
         self.dtype = dtype
         self.stride = (1,)
-        self.model = GraphModel(self.specs, self.save, strides=None, dtype=dtype)
+        self.model = GraphModel(self.specs, self.save, strides=None, dtype=dtype,
+                                 act=self.act)
         self.variables = unfreeze(jax.device_get(
             fast_init(self.model, jax.random.PRNGKey(seed),
                       jnp.zeros((1, 224, 224, ch), dtype))))

@@ -100,6 +100,12 @@ def translate_key(tkey: str) -> Tuple[Tuple[str, ...], object, str] | None:
         return tuple(head) + (parts[-2], "kernel"), _convT_w, "params"
     if tail2 in ("upsample.bias", "conv_transpose.bias"):
         return tuple(head) + (parts[-2], "bias"), None, "params"
+    # bare nn.ConvTranspose2d graph layer (v6 head): model.11.weight/bias
+    if re.fullmatch(r"model_\d+\.(weight|bias)", k):
+        leaf = parts[-1]
+        if leaf == "weight":
+            return (parts[0], "conv_transpose", "kernel"), _convT_w, "params"
+        return (parts[0], "conv_transpose", "bias"), None, "params"
 
     # TaskDecomposition reduction conv
     if "reduction_conv" in parts:
@@ -222,6 +228,20 @@ def load_torch_state_dict(variables: Dict, state_dict: Mapping[str, np.ndarray],
             alt_dst = _get(out.get(coll, {}), alt)
             if alt_dst is not None:
                 path, dst = alt, alt_dst
+        if dst is None:
+            # n>1 repeat blocks: reference nn.Sequential child 'model.2.R.*'
+            # -> our 'model_2' (R=0) / 'model_2_repR' (R>0)
+            m_rep = re.match(r"^model\.(\d+)\.(\d+)\.(.*)$", tkey)
+            if m_rep:
+                n_, r_, rest = m_rep.group(1), int(m_rep.group(2)), m_rep.group(3)
+                alt_tr = translate_key(f"model.{n_}.{rest}")
+                if alt_tr is not None:
+                    alt_path, tf, coll = alt_tr
+                    if r_ > 0:
+                        alt_path = (f"model_{n_}_rep{r_}",) + alt_path[1:]
+                    alt_dst = _get(out.get(coll, {}), alt_path)
+                    if alt_dst is not None:
+                        path, dst = alt_path, alt_dst
         if dst is None:
             name_miss.append(tkey)
             continue

@@ -295,11 +295,15 @@ def import_reference():
     return sys.modules["ultralytics"]
 
 
-def build_reference_model(cfg_name: str, nc=None):
-    """Build a reference DetectionModel from a models/v8 yaml, torch CPU."""
+def build_reference_model(cfg_name: str, nc=None, subdir: str = "v8"):
+    """Build a reference DetectionModel from a models/<subdir> yaml, torch CPU."""
     import_reference()
     from ultralytics.nn.tasks import DetectionModel
-    cfg = str(REFERENCE_ROOT / "models" / "v8" / cfg_name)
+    cfg = str(REFERENCE_ROOT / "models" / subdir / cfg_name)
     model = DetectionModel(cfg=cfg, verbose=False, nc=nc)
     model.eval()
+    # reference parse_model leaks yaml activation overrides into the GLOBAL
+    # Conv.default_act (tasks.py:616-620) — reset so later builds get SiLU
+    from ultralytics.nn.modules.conv import Conv
+    Conv.default_act = nn.SiLU()
     return model

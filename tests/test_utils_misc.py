@@ -118,11 +118,12 @@ class TestDataUtils:
         cv2.imwrite(str(ip), np.zeros((32, 32, 3), np.uint8))
         lp = tmp_path / "a.txt"
         lp.write_text("0 0.5 0.5 0.2 0.2\n")
-        ok, msg = verify_image_label(ip, lp, 2)
-        assert ok, msg
-        lp.write_text("5 0.5 0.5 0.2 0.2\n")
-        ok, msg = verify_image_label(ip, lp, 2)
-        assert not ok
+        rec, nm, nf, ne, nc_bad, msg = verify_image_label(ip, lp, 2)
+        assert rec is not None and nf == 1 and nc_bad == 0, msg
+        assert rec["shape"] == (32, 32) and len(rec["cls"]) == 1
+        lp.write_text("5 0.5 0.5 0.2 0.2\n")  # class out of range
+        rec, nm, nf, ne, nc_bad, msg = verify_image_label(ip, lp, 2)
+        assert rec is None and nc_bad == 1
 
     def test_convert_coco(self, tmp_path):
         import json
