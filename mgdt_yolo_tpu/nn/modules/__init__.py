@@ -4,7 +4,7 @@ from .block import (C1, C2, C2f, C3, C3Ghost, C3x, IFM, SPP, SPPF, Bottleneck,
                     RepC3, SPRModule, SimFusion_3in, SimFusion_4in, C3TR, dfl_decode)
 from .conv import (BN, CBAM, ChannelAttention, Concat, Conv, Conv2, ConvTranspose,
                    DWConv, DWConvTranspose2d,
-                   Focus, GhostConv, LightConv, MaxPool2d, RepConv,
+                   Focus, GhostConv, LightConv, MaxPool2d, RepConv, RepVGGBlock,
                    SpatialAttention, Upsample, ZeroPad2d, autopad, set_default_act)
 from .head import (Classify, Conv_GN, Detect, Pose, Segment, TaskDecomposition,
                    TOODHead, decode_detections)
@@ -12,7 +12,7 @@ from .head import (Classify, Conv_GN, Detect, Pose, Segment, TaskDecomposition,
 __all__ = [
     "Conv", "DWConv", "LightConv", "ConvTranspose", "Focus", "GhostConv", "RepConv",
     "ChannelAttention", "SpatialAttention", "CBAM", "Concat", "Upsample", "BN",
-    "MaxPool2d", "ZeroPad2d", "set_default_act",
+    "MaxPool2d", "ZeroPad2d", "set_default_act", "RepVGGBlock",
     "autopad", "Bottleneck", "C1", "C2", "C2f", "C3", "C3x", "C3Ghost", "C3TR",
     "Conv2", "DWConvTranspose2d",
     "BottleneckCSP", "RepC3", "GhostBottleneck", "SPP", "SPPF", "HGStem", "HGBlock",

@@ -220,6 +220,32 @@ class LightConv(nn.Module):
         return DWConv(self.c2, self.k, act=self.act, dtype=self.dtype, name="conv2")(y, train)
 
 
+class RepVGGBlock(nn.Module):
+    """Three-branch rep-style block: dense 3x3+BN, 1x1+BN, identity BN,
+    summed then ReLU (reference nn/modules/rep_vgg_block.py:118-182; the
+    GOLD-YOLO lineage block). Deploy-time fusion folds the branches into one
+    3x3 conv — on TPU that is an eval-time param transform (nn/fuse.py
+    style), not a module swap."""
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.k == 3
+        c1 = x.shape[-1]
+        dense = Conv(self.c2, 3, self.s, g=self.g, act=False,
+                     dtype=self.dtype, name="rbr_dense")(x, train)
+        one = Conv(self.c2, 1, self.s, p=0, g=self.g, act=False,
+                   dtype=self.dtype, name="rbr_1x1")(x, train)
+        y = dense + one
+        if c1 == self.c2 and self.s == 1:
+            y = y + BN(dtype=self.dtype, name="rbr_identity")(x, train)
+        return nn.relu(y)
+
+
 class MaxPool2d(nn.Module):
     """torch nn.MaxPool2d analog over NHWC (used by the v3/v5 yamls)."""
     k: int

@@ -54,7 +54,7 @@ class LayerSpec:
 _CONV_LIKE = {"Classify", "Conv", "Conv2", "ConvTranspose", "DWConvTranspose2d",
               "nn.ConvTranspose2d", "GhostConv", "Bottleneck",
               "GhostBottleneck", "SPP", "SPPF", "DWConv", "Focus",
-              "BottleneckCSP",
+              "BottleneckCSP", "RepVGGBlock",
               "C1", "C2", "C2f", "MSPA_C2f", "C3", "C3x", "C3Ghost", "C3TR",
               "RepC3"}
 _REPEAT_BLOCKS = {"BottleneckCSP", "C1", "C2", "C2f", "MSPA_C2f", "C3", "C3x",
@@ -207,6 +207,9 @@ def build_module(spec: LayerSpec, dtype, strides: Optional[Tuple[int, ...]],
         return C.ZeroPad2d(tuple(a[0]), name=name)
     if m == "C3TR":
         return B.C3TR(a[1], n=a[2], dtype=dtype, name=name)
+    if m == "RepVGGBlock":
+        return C.RepVGGBlock(a[1], a[2] if len(a) > 2 else 3,
+                             a[3] if len(a) > 3 else 1, dtype=dtype, name=name)
     if m == "Focus":
         return C.Focus(a[1], a[2] if len(a) > 2 else 1, dtype=dtype, name=name)
     if m == "GhostConv":

@@ -73,6 +73,30 @@ def translate_key(tkey: str) -> Tuple[Tuple[str, ...], object, str] | None:
     k = re.sub(r"\b(cv2|cv3|cv4)\.(\d+)\.(\d+)$", r"\1_\2_\3", k)
     k = re.sub(r"\bm\.(\d+)\.", r"m_\1.", k)                           # CSP bottlenecks
     k = re.sub(r"\btr\.(\d+)\.", r"tr_\1.", k)                         # TransformerBlock layers
+    # ---- RT-DETR decoder head (reference head.py:275-464) ----
+    k = re.sub(r"\bdecoder\.layers\.(\d+)\.", r"decoder_layer_\1.", k)
+    k = re.sub(r"\binput_proj\.(\d+)\.0\.", r"input_proj_\1.", k)      # 1x1 conv
+    m_ipbn = re.search(r"\binput_proj\.(\d+)\.1\.(\w+)$", k)
+    if m_ipbn:  # input_proj BatchNorm (Sequential slot 1)
+        base = tuple(k[:m_ipbn.start()].rstrip(".").split(".")) if \
+            m_ipbn.start() else ()
+        base = base + (f"input_proj_bn_{m_ipbn.group(1)}", "bn")
+        leaf = m_ipbn.group(2)
+        lut = {"weight": ("scale", "params"), "bias": ("bias", "params"),
+               "running_mean": ("mean", "batch_stats"),
+               "running_var": ("var", "batch_stats")}
+        if leaf in lut:
+            nm_, coll_ = lut[leaf]
+            return base + (nm_,), None, coll_
+        return None
+    k = re.sub(r"\b(dec_bbox_head|dec_score_head)\.(\d+)\.", r"\1_\2.", k)
+    k = re.sub(r"\blayers\.(\d+)\.", r"layers_\1.", k)                 # MLP towers
+    k = k.replace("enc_output.0.", "enc_output_dense.")
+    k = k.replace("enc_output.1.", "enc_output_norm.")
+    if k.endswith("denoising_class_embed.weight"):
+        return tuple(k.split(".")[:-1]), None, "params"
+    if k.endswith("tgt_embed.weight"):
+        return tuple(k.split(".")[:-1]), None, "params"
     k = re.sub(r"\bconvs\.(\d+)\.", r"convs_\1.", k)                   # MSPA convs
     k = re.sub(r"\bbottleneck\.(\d+)\.", r"bottleneck_\1.", k)         # MSPA bottlenecks
     k = re.sub(r"\bshare_conv\.(\d+)\.", r"share_conv_\1.", k)         # TOOD tower
@@ -145,6 +169,17 @@ def translate_key(tkey: str) -> Tuple[Tuple[str, ...], object, str] | None:
         if mod == "grn":
             return base + ("grn", leaf), None, "params"
 
+    # RepVGGBlock identity branch: a bare BatchNorm2d (rep_vgg_block.py:168)
+    if "rbr_identity" in parts:
+        i = parts.index("rbr_identity")
+        base = tuple(parts[:i + 1])
+        leaf = parts[-1]
+        mapping = {"weight": ("bn", "scale"), "bias": ("bn", "bias"),
+                   "running_mean": ("bn", "mean"), "running_var": ("bn", "var")}
+        if leaf in mapping:
+            coll = "batch_stats" if leaf.startswith("running") else "params"
+            return base + mapping[leaf], None, coll
+
     # Conv(+BN) leaves
     if tail2 in _CONV_LEAVES:
         path, tf, coll = _CONV_LEAVES[tail2]
@@ -153,6 +188,14 @@ def translate_key(tkey: str) -> Tuple[Tuple[str, ...], object, str] | None:
     # GroupNorm blocks (Conv_GN)
     if tail2 in ("gn.weight", "gn.bias"):
         return tuple(head) + ("gn", "scale" if parts[-1] == "weight" else "bias"), None, "params"
+
+    # plain nn.LayerNorm leaves (RT-DETR decoder norm1..3, AIFI norms,
+    # enc_output_norm): weight -> flax 'scale'
+    if parts[-1] in ("weight", "bias") and (
+            re.fullmatch(r"norm\d+", parts[-2]) or
+            parts[-2] == "enc_output_norm"):
+        leaf = "scale" if parts[-1] == "weight" else "bias"
+        return tuple(parts[:-1]) + (leaf,), None, "params"
 
     # plain conv2d / linear leaves (head 1x1s, SPR fc, la_conv, offset convs)
     leaf = parts[-1]

@@ -105,3 +105,26 @@ class TestFacadeLongTail:
             pytest.skip("mss installed; gating branch not reachable")
         with pytest.raises(ImportError, match="mss"):
             load_inference_source("screen 0")
+
+
+class TestRepVGGBlock:
+    def test_golden_parity(self):
+        """RepVGGBlock (dense 3x3+BN + 1x1+BN + identity BN, ReLU) vs the
+        reference rep_vgg_block.py:118-182."""
+        import_reference()
+        from ultralytics.nn.modules.rep_vgg_block import RepVGGBlock as TRep
+        torch.manual_seed(3)
+        t = TRep(8, 8, 3, 1)
+        t.eval()
+        # exercise live BN stats: push a forward in train mode first
+        t.train()
+        with torch.no_grad():
+            t(torch.randn(4, 8, 16, 16))
+        t.eval()
+        _golden(M.RepVGGBlock(8, 3, 1), t, c1=8, atol=3e-3)
+
+    def test_identity_branch_dropped_on_stride(self):
+        import jax
+        m = M.RepVGGBlock(16, 3, 2)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8)), train=False)
+        assert "rbr_identity" not in v["params"]
