@@ -14,6 +14,8 @@ from mgdt_yolo_tpu.utils.torch_import import load_torch_state_dict
 from reference_harness import build_reference_model
 
 ZOO = [
+    ("yolov8n-p2.yaml", (4, 8, 16, 32)),
+    ("yolov8n-p6.yaml", (8, 16, 32, 64)),
     ("yolov5n.yaml", (8, 16, 32)),
     ("yolov5n-p6.yaml", (8, 16, 32, 64)),
     ("yolov3-tiny.yaml", (16, 32)),
@@ -61,3 +63,20 @@ class TestZooParity:
     def test_yolov3_tiny(self):
         """Covers nn.MaxPool2d / nn.ZeroPad2d and -2 from-refs."""
         _zoo_parity("yolov3-tiny.yaml", "v3")
+
+
+class TestZooSpecialHeads:
+    def test_pose_p6_builds(self):
+        m = DetectionModel("yolov8n-pose-p6.yaml")
+        assert m.stride == (8, 16, 32, 64)
+        out, _ = m.predict(jnp.zeros((1, 128, 128, 3)))
+
+    def test_rtdetr_x_builds(self):
+        m = DetectionModel("rtdetr-x.yaml")
+        out = m.predict(jnp.zeros((1, 160, 160, 3)))
+        dec_bboxes = out[0][0]
+        assert dec_bboxes.shape[-2:] == (300, 4)
+
+    def test_p2_parity(self):
+        """P2 4-scale head golden parity (reference models/v8/yolov8-p2.yaml)."""
+        _zoo_parity("yolov8n-p2.yaml", "v8")
