@@ -138,15 +138,17 @@ class SAM:
 
     # ---- automatic mask generation --------------------------------------
     def generate(self, image: np.ndarray, points_per_side: int = 8,
-                 pred_iou_thresh: float = 0.7, mask_threshold: float = 0.0
-                 ) -> List[Dict]:
-        """Point-grid automatic mask generation
-        (reference modules/mask_generator.py:23-353, simplified single-crop)."""
+                 pred_iou_thresh: float = 0.7, mask_threshold: float = 0.0,
+                 stability_score_thresh: float = 0.0,
+                 stability_score_offset: float = 1.0) -> List[Dict]:
+        """Point-grid automatic mask generation with predicted-IoU and
+        stability-score filtering (reference modules/mask_generator.py:23-353
+        + amg.py; single-crop layer)."""
+        from .amg import build_point_grid, calculate_stability_score
         x, scale, (h0, w0) = self._prep(image)
         emb = self._encode(self.variables, x)
-        g = (np.arange(points_per_side) + 0.5) / points_per_side
-        gx, gy = np.meshgrid(g * w0, g * h0)
-        pts = np.stack([gx.ravel(), gy.ravel()], -1)[:, None, :]  # (N, 1, 2)
+        grid = build_point_grid(points_per_side)  # (N, 2) in [0,1]^2
+        pts = (grid * np.array([w0, h0], np.float32))[:, None, :]  # (N, 1, 2)
         results = []
         B = pts.shape[0]
         emb_rep = jnp.broadcast_to(emb, (B, *emb.shape[1:]))
@@ -155,10 +157,13 @@ class SAM:
             jnp.ones((B, 1), jnp.int32)))
         masks = masks.reshape(-1, *masks.shape[2:])  # (N*3, h, w)
         ious = ious.reshape(-1)
-        keep = ious > pred_iou_thresh
-        masks, ious = masks[keep], ious[keep]
+        stability = calculate_stability_score(masks, mask_threshold,
+                                              stability_score_offset)
+        keep = (ious > pred_iou_thresh) & \
+            (stability >= stability_score_thresh)
+        masks, ious, stability = masks[keep], ious[keep], stability[keep]
         bin_masks = []
-        for m, s in zip(masks, ious):
+        for m, s, st in zip(masks, ious, stability):
             full = self._postprocess_masks(m[None, None], scale, (h0, w0))[0, 0]
             bm = full > mask_threshold
             if bm.sum() < 16:
@@ -167,7 +172,8 @@ class SAM:
             bbox = [int(xs.min()), int(ys.min()),
                     int(xs.max() - xs.min()), int(ys.max() - ys.min())]
             bin_masks.append({"segmentation": bm, "area": int(bm.sum()),
-                              "bbox": bbox, "predicted_iou": float(s)})
+                              "bbox": bbox, "predicted_iou": float(s),
+                              "stability_score": float(st)})
         # dedup by mask-bbox NMS
         bin_masks.sort(key=lambda r: -r["predicted_iou"])
         kept: List[Dict] = []
