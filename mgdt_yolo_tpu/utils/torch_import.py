@@ -191,7 +191,7 @@ def translate_key(tkey: str) -> Tuple[Tuple[str, ...], object, str] | None:
 
     # plain nn.LayerNorm leaves (RT-DETR decoder norm1..3, AIFI norms,
     # enc_output_norm): weight -> flax 'scale'
-    if parts[-1] in ("weight", "bias") and (
+    if len(parts) >= 2 and parts[-1] in ("weight", "bias") and (
             re.fullmatch(r"norm\d+", parts[-2]) or
             parts[-2] == "enc_output_norm"):
         leaf = "scale" if parts[-1] == "weight" else "bias"
