@@ -28,7 +28,7 @@ CFG_BOOL_KEYS = (
     "save", "exist_ok", "verbose", "deterministic", "single_cls", "rect", "cos_lr",
     "overlap_mask", "val", "save_json", "save_hybrid", "half", "dnn", "plots", "show",
     "save_txt", "save_conf", "save_crop", "show_labels", "show_conf", "visualize",
-    "augment", "agnostic_nms", "retina_masks", "boxes", "keras", "optimize", "int8",
+    "augment", "device_augment", "agnostic_nms", "retina_masks", "boxes", "keras", "optimize", "int8",
     "dynamic", "simplify", "nms", "profile", "v5loader")
 
 TASKS = ("detect", "segment", "classify", "pose")

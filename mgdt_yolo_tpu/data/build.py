@@ -86,14 +86,40 @@ def collate(items, imgsz, max_gt: int, train: bool,
     return out
 
 
+def collate_raw(items, imgsz: int, max_gt: int) -> Dict[str, np.ndarray]:
+    """Device-augment ingest: top-left-anchored uint8 squares + (h, w) +
+    UNaugmented pixel labels. All geometric/color augmentation then happens
+    in-graph (ops/device_augment.py) — the host only decodes and copies."""
+    b = len(items)
+    imgs = np.full((b, imgsz, imgsz, 3), 114, np.uint8)
+    hw = np.zeros((b, 2), np.float32)
+    gt_labels = np.zeros((b, max_gt), np.int32)
+    gt_bboxes = np.zeros((b, max_gt, 4), np.float32)
+    mask_gt = np.zeros((b, max_gt), bool)
+    for j, it in enumerate(items):
+        img = it["img"]
+        h, w = img.shape[:2]
+        imgs[j, :h, :w] = img[..., ::-1]  # BGR->RGB
+        hw[j] = (h, w)
+        n = min(len(it["boxes"]), max_gt)
+        if n:
+            gt_bboxes[j, :n] = it["boxes"][:n]
+            gt_labels[j, :n] = it["cls"][:n].astype(np.int32)
+            mask_gt[j, :n] = gt_bboxes[j, :n].sum(-1) > 0
+    return {"img": imgs, "img_hw": hw, "gt_labels": gt_labels,
+            "gt_bboxes": gt_bboxes, "mask_gt": mask_gt}
+
+
 class DataLoader:
     """Seeded, threaded batch loader with deterministic epoch ordering."""
 
     def __init__(self, dataset, batch_size: int, imgsz: int, train: bool = True,
                  hyp=None, max_gt: Optional[int] = None, seed: int = 0,
                  workers: int = 4, drop_last: Optional[bool] = None,
-                 rect: bool = False, pad: float = 0.5, stride: int = 32):
+                 rect: bool = False, pad: float = 0.5, stride: int = 32,
+                 device_augment: bool = False):
         self.dataset = dataset
+        self.device_augment = device_augment and train
         self.batch_size = batch_size
         self.imgsz = imgsz
         self.train = train
@@ -156,6 +182,8 @@ class DataLoader:
             # reference load_image: long side -> imgsz before any augment
             # (base.py:146-160), so mosaic composes imgsz-scale tiles
             item = resize_long_side(item, self.imgsz, augment=True)
+            if self.device_augment:
+                return item  # raw: augmentation happens in-graph
             buf = self.dataset.buffer
             with self._buf_lock:
                 picks = list(buf)
@@ -204,7 +232,10 @@ class DataLoader:
                         nxt += 1
                     shape = (tuple(self.batch_shapes[done])
                              if self.batch_shapes is not None else self.imgsz)
-                    q.put(collate(items, shape, self.max_gt, self.train))
+                    if self.device_augment:
+                        q.put(collate_raw(items, self.imgsz, self.max_gt))
+                    else:
+                        q.put(collate(items, shape, self.max_gt, self.train))
                     done += 1
                 q.put(None)
             except BaseException as e:  # surface worker errors to the consumer
@@ -226,6 +257,8 @@ class DataLoader:
 
 def build_dataloader(dataset, batch_size: int, imgsz: int, train: bool = True,
                      hyp=None, seed: int = 0, workers: int = 4,
-                     rect: bool = False, stride: int = 32) -> DataLoader:
+                     rect: bool = False, stride: int = 32,
+                     device_augment: bool = False) -> DataLoader:
     return DataLoader(dataset, batch_size, imgsz, train=train, hyp=hyp,
-                      seed=seed, workers=workers, rect=rect, stride=stride)
+                      seed=seed, workers=workers, rect=rect, stride=stride,
+                      device_augment=device_augment)

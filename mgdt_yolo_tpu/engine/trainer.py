@@ -155,7 +155,8 @@ def build_optimizer(params, name: str, lr0: float, lrf: float, momentum: float,
 
 
 def make_train_step(model, criterion, tx, ema_decay: float = 0.9999,
-                    loss_call=None, model_kwargs_fn=None, accumulate: int = 1):
+                    loss_call=None, model_kwargs_fn=None, accumulate: int = 1,
+                    augment_fn=None):
     """Build the jitted train step: grads + update + EMA in one XLA program.
 
     loss_call(criterion, head_out, batch, step) -> LossOutputs; the default
@@ -171,6 +172,10 @@ def make_train_step(model, criterion, tx, ema_decay: float = 0.9999,
             return crit(out[1], batch, step)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        if augment_fn is not None:
+            # in-graph mosaic/warp/flip/HSV (ops/device_augment.py); the
+            # host shipped raw uint8 squares + unaugmented labels
+            batch = augment_fn(batch, state.step)
         img = batch["img"]
         if jnp.issubdtype(img.dtype, jnp.integer):  # uint8 ingest path
             img = img.astype(jnp.float32) / 255.0
@@ -286,8 +291,11 @@ class BaseTrainer(CallbackMixin):
         yaml_save(self.save_dir / "args.yaml", vars(args))
 
         train_ds = self.get_dataset(train=True)
+        dev_aug = bool(getattr(args, "device_augment", False)) and \
+            self.__class__.__name__ in ("BaseTrainer", "DetectionTrainer")
         loader = build_dataloader(train_ds, args.batch, args.imgsz, train=True,
-                                  hyp=args, seed=args.seed, workers=args.workers)
+                                  hyp=args, seed=args.seed, workers=args.workers,
+                                  device_augment=dev_aug)
         nb = len(loader)
         warmup_steps = max(round(args.warmup_epochs * nb), 100)
         total_steps = nb * args.epochs
@@ -332,10 +340,26 @@ class BaseTrainer(CallbackMixin):
             opt_state=replicate_tree(opt_state, mesh),
             ema_params=replicate_tree(ema0, mesh),
             step=jnp.int32(step0), ema_updates=jnp.int32(ema_updates0))
+        augment_fn = None
+        if dev_aug:
+            from functools import partial
+
+            from ..ops.device_augment import device_augment
+            base_key = jax.random.PRNGKey(args.seed)
+            aug = partial(device_augment, imgsz=args.imgsz,
+                          mosaic_p=args.mosaic, scale=args.scale,
+                          translate=args.translate, fliplr=args.fliplr,
+                          flipud=args.flipud, hsv_h=args.hsv_h,
+                          hsv_s=args.hsv_s, hsv_v=args.hsv_v,
+                          max_out=loader.max_gt)
+
+            def augment_fn(batch, step):
+                return aug(batch, jax.random.fold_in(base_key, step))
         step_fn = make_train_step(mh.model, criterion, tx,
                                   loss_call=self.get_loss_call(),
                                   model_kwargs_fn=self.get_model_kwargs_fn(),
-                                  accumulate=accumulate)
+                                  accumulate=accumulate,
+                                  augment_fn=augment_fn)
 
         stopper = EarlyStopping(args.patience)
         self.run_callbacks("on_train_start")

@@ -1,0 +1,112 @@
+"""In-graph augmentation (ops/device_augment.py): geometry correctness under
+an identity configuration, mosaic validity invariants, determinism, and the
+raw-collate loader mode feeding it."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mgdt_yolo_tpu.data.build import DataLoader, collate_raw
+from mgdt_yolo_tpu.data.dataset import SyntheticDetectionDataset
+from mgdt_yolo_tpu.ops.device_augment import device_augment
+
+S = 128
+
+
+def _raw_batch(b=4, g=8, h=96, w=128, seed=0):
+    rng = np.random.default_rng(seed)
+    imgs = np.full((b, S, S, 3), 114, np.uint8)
+    boxes = np.zeros((b, g, 4), np.float32)
+    labels = np.zeros((b, g), np.int32)
+    mask = np.zeros((b, g), bool)
+    for j in range(b):
+        imgs[j, :h, :w] = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        boxes[j, 0] = [10, 20, 50, 60]
+        labels[j, 0] = 1
+        mask[j, 0] = True
+    hw = np.tile(np.array([[h, w]], np.float32), (b, 1))
+    return {"img": jnp.asarray(imgs), "img_hw": jnp.asarray(hw),
+            "gt_bboxes": jnp.asarray(boxes), "gt_labels": jnp.asarray(labels),
+            "mask_gt": jnp.asarray(mask)}
+
+
+class TestDeviceAugment:
+    def test_identity_config_centers_image(self):
+        """mosaic off + scale 0 + translate 0 + no flips/HSV must reduce to a
+        centered letterbox: pixels and boxes shift by ((S-w)/2, (S-h)/2)."""
+        h, w = 96, 112
+        batch = _raw_batch(b=2, h=h, w=w)
+        out = device_augment(batch, jax.random.PRNGKey(0), imgsz=S,
+                             mosaic_p=0.0, scale=0.0, translate=0.0,
+                             fliplr=0.0, flipud=0.0, hsv_h=0.0, hsv_s=0.0,
+                             hsv_v=0.0)
+        img = np.asarray(out["img"])
+        dx, dy = (S - w) // 2, (S - h) // 2
+        src = np.asarray(batch["img"][0, :h, :w]).astype(np.float32) / 255.0
+        got = img[0, dy:dy + h, dx:dx + w]
+        assert np.abs(got - src).max() < 0.02  # bf16 warp + u8 round-trip
+        bx = np.asarray(out["gt_bboxes"][0])
+        m = np.asarray(out["mask_gt"][0])
+        assert m[0] and not m[1:].any()
+        np.testing.assert_allclose(bx[0], [10 + dx, 20 + dy, 50 + dx, 60 + dy],
+                                   atol=1.0)
+
+    def test_mosaic_invariants(self):
+        batch = _raw_batch(b=4)
+        out = device_augment(batch, jax.random.PRNGKey(3), imgsz=S,
+                             mosaic_p=1.0, scale=0.5, translate=0.1,
+                             fliplr=0.5)
+        img = np.asarray(out["img"])
+        assert img.shape == (4, S, S, 3) and img.dtype == np.float32
+        assert np.isfinite(img).all() and img.min() >= 0 and img.max() <= 1.0
+        bx = np.asarray(out["gt_bboxes"])
+        m = np.asarray(out["mask_gt"])
+        assert (bx >= 0).all() and (bx <= S).all()
+        valid = bx[m]
+        if len(valid):  # surviving boxes are well-formed
+            assert (valid[:, 2] >= valid[:, 0]).all()
+            assert (valid[:, 3] >= valid[:, 1]).all()
+
+    def test_deterministic_given_key(self):
+        batch = _raw_batch(b=4)
+        a = device_augment(batch, jax.random.PRNGKey(7), imgsz=S)
+        b = device_augment(batch, jax.random.PRNGKey(7), imgsz=S)
+        np.testing.assert_array_equal(np.asarray(a["img"]), np.asarray(b["img"]))
+        c = device_augment(batch, jax.random.PRNGKey(8), imgsz=S)
+        assert np.abs(np.asarray(a["img"]) - np.asarray(c["img"])).max() > 0.01
+
+    def test_flip_mirrors_boxes(self):
+        batch = _raw_batch(b=2)
+        out = device_augment(batch, jax.random.PRNGKey(1), imgsz=S,
+                             mosaic_p=0.0, scale=0.0, translate=0.0,
+                             fliplr=1.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0)
+        dx, dy = (S - 128) // 2, (S - 96) // 2
+        bx = np.asarray(out["gt_bboxes"][0])
+        want = [S - (50 + dx), 20 + dy, S - (10 + dx), 60 + dy]
+        np.testing.assert_allclose(bx[0], want, atol=1.0)
+
+
+class TestRawLoaderMode:
+    def test_loader_ships_raw_batches(self):
+        from mgdt_yolo_tpu.cfg import get_cfg
+        ds = SyntheticDetectionDataset(n=8, imgsz=64, nc=2, seed=0)
+        dl = DataLoader(ds, 4, 64, train=True, hyp=get_cfg(), seed=0,
+                        device_augment=True)
+        b = next(iter(dl))
+        assert set(b) >= {"img", "img_hw", "gt_bboxes", "gt_labels", "mask_gt"}
+        assert b["img"].dtype == np.uint8 and b["img"].shape == (4, 64, 64, 3)
+        # labels are raw pixel coords of the unaugmented item
+        assert (b["img_hw"] == 64).all()
+
+    def test_raw_then_device_augment_end_to_end(self):
+        from mgdt_yolo_tpu.cfg import get_cfg
+        ds = SyntheticDetectionDataset(n=8, imgsz=64, nc=2, seed=0)
+        dl = DataLoader(ds, 4, 64, train=True, hyp=get_cfg(), seed=0,
+                        device_augment=True)
+        b = next(iter(dl))
+        out = device_augment({k: jnp.asarray(v) for k, v in b.items()},
+                             jax.random.PRNGKey(0), imgsz=64,
+                             max_out=dl.max_gt)
+        assert out["img"].shape == (4, 64, 64, 3)
+        assert out["gt_bboxes"].shape == (4, dl.max_gt, 4)
