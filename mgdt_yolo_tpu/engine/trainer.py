@@ -347,14 +347,21 @@ class BaseTrainer(CallbackMixin):
             from ..ops.device_augment import device_augment
             base_key = jax.random.PRNGKey(args.seed)
             aug = partial(device_augment, imgsz=args.imgsz,
-                          mosaic_p=args.mosaic, scale=args.scale,
+                          scale=args.scale,
                           translate=args.translate, fliplr=args.fliplr,
                           flipud=args.flipud, hsv_h=args.hsv_h,
                           hsv_s=args.hsv_s, hsv_v=args.hsv_v,
                           max_out=loader.max_gt)
+            # close_mosaic in-graph: mosaic probability drops to 0 once the
+            # step counter passes the cutoff (host path mutates args.mosaic)
+            off_step = ((args.epochs - args.close_mosaic) * nb
+                        if args.close_mosaic else None)
 
             def augment_fn(batch, step):
-                return aug(batch, jax.random.fold_in(base_key, step))
+                p = args.mosaic if off_step is None else jnp.where(
+                    step >= off_step, 0.0, args.mosaic)
+                return aug(batch, jax.random.fold_in(base_key, step),
+                           mosaic_p=p)
         step_fn = make_train_step(mh.model, criterion, tx,
                                   loss_call=self.get_loss_call(),
                                   model_kwargs_fn=self.get_model_kwargs_fn(),
