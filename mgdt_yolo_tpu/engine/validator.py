@@ -60,9 +60,13 @@ class DetectionValidator(BaseValidator):
                 img = img.astype(jnp.float32) / 255.0
             decoded, _ = model_holder.model.apply(vs, img, train=False)
             # nc explicitly: segment/pose decodes append mask/kpt channels
+            # val protocol: conf 0.001 + multi_label floods candidates —
+            # use a deeper pre-NMS pool than the predict path (the reference
+            # caps at 30k, ops.py:213); 4096 is past the dense-head tail
             return non_max_suppression(decoded, conf_thres=conf, iou_thres=args.iou,
                                        max_det=args.max_det, multi_label=True,
                                        agnostic=args.agnostic_nms,
+                                       pre_topk=4096,
                                        nc=model_holder.nc)
 
         metrics = DetMetrics()
