@@ -199,10 +199,107 @@ class DataLoader:
             return out
         return item
 
+    def _native_eligible(self) -> bool:
+        """True when the device-augment ingest can run through the native
+        C++ loader (mgdt_yolo_tpu/native): real image files on disk, labels
+        available without decoding, no RAM/disk cache interposed."""
+        ds = self.dataset
+        if not (self.device_augment and getattr(ds, "im_files", None)
+                and getattr(ds, "labels", None) is not None
+                and not getattr(ds, "cache", False)):
+            return False
+        from ..native import available
+        return available()
+
+    def _native_batch(self, chunk, pos0: int) -> Dict[str, np.ndarray]:
+        """collate_raw-equivalent batch via the C++ thread-pool ingest.
+
+        Decode + long-side resize + canvas paste happen in native code; this
+        function only scales the (already-parsed) normalized labels to the
+        pasted size. Images the native path declines (EXIF-rotated, CMYK,
+        bmp/tiff/webp, corrupt) are redone through the Python item path.
+        """
+        from ..native import OK, load_batch
+        ds = self.dataset
+        paths = [ds.im_files[i] for i in chunk]
+        imgs, hw, status = load_batch(paths, self.imgsz, 114, self.workers)
+        b = len(chunk)
+        gt_labels = np.zeros((b, self.max_gt), np.int32)
+        gt_bboxes = np.zeros((b, self.max_gt, 4), np.float32)
+        mask_gt = np.zeros((b, self.max_gt), bool)
+        single_cls = getattr(ds, "single_cls", False)
+        for j, i in enumerate(chunk):
+            if status[j] != OK:  # cv2 fallback for this image only
+                rng = random.Random(
+                    (self.seed * 1000003 + self.epoch * 7919 + pos0 + j)
+                    & 0x7FFFFFFF)
+                it = self._make_item(i, rng)
+                im = it["img"]
+                h, w = im.shape[:2]
+                imgs[j] = 114
+                imgs[j, :h, :w] = im[..., ::-1]
+                hw[j] = (h, w)
+                boxes, cls = it["boxes"], it["cls"]
+            else:
+                lab = ds.labels[i]  # (n, 5): cls, cx, cy, w, h normalized
+                dh, dw = hw[j]
+                cx, cy = lab[:, 1] * dw, lab[:, 2] * dh
+                bw, bh = lab[:, 3] * dw, lab[:, 4] * dh
+                boxes = np.stack([cx - bw / 2, cy - bh / 2,
+                                  cx + bw / 2, cy + bh / 2], -1)
+                cls = np.zeros(len(lab), np.float32) if single_cls \
+                    else lab[:, 0]
+            n = min(len(boxes), self.max_gt)
+            if n:
+                gt_bboxes[j, :n] = boxes[:n]
+                gt_labels[j, :n] = cls[:n].astype(np.int32)
+                mask_gt[j, :n] = gt_bboxes[j, :n].sum(-1) > 0
+        return {"img": imgs, "img_hw": hw, "gt_labels": gt_labels,
+                "gt_bboxes": gt_bboxes, "mask_gt": mask_gt}
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._indices()
         nb = len(self)
         q: queue.Queue = queue.Queue(maxsize=4)
+        if self._native_eligible():
+            # whole-batch native ingest; two batches in flight
+            pool = ThreadPoolExecutor(max_workers=2,
+                                      thread_name_prefix="mgdt-native")
+
+            def nat(b: int) -> Dict:
+                chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                return self._native_batch(chunk, b * self.batch_size)
+
+            def producer_native():
+                try:
+                    pending: deque = deque()
+                    nxt = 0
+                    while nxt < min(2, nb):
+                        pending.append(pool.submit(nat, nxt))
+                        nxt += 1
+                    while pending:
+                        batch = pending.popleft().result()
+                        if nxt < nb:
+                            pending.append(pool.submit(nat, nxt))
+                            nxt += 1
+                        q.put(batch)
+                    q.put(None)
+                except BaseException as e:
+                    q.put(e)
+
+            t = threading.Thread(target=producer_native, daemon=True)
+            t.start()
+            try:
+                while True:
+                    batch = q.get()
+                    if batch is None:
+                        break
+                    if isinstance(batch, BaseException):
+                        raise batch
+                    yield batch
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
+            return
         pool = ThreadPoolExecutor(max_workers=self.workers,
                                   thread_name_prefix="mgdt-data")
 
