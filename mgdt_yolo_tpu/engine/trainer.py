@@ -312,7 +312,17 @@ class BaseTrainer(CallbackMixin):
                              warmup_bias_lr=getattr(args, "warmup_bias_lr", 0.1),
                              accumulate=accumulate)
 
-        mesh = create_mesh()
+        tp = int(getattr(args, "tp", 1) or 1)
+        if tp > 1:
+            import jax as _jax
+
+            from ..parallel.mesh import create_mesh_2d
+            ndev = len(_jax.devices())
+            if ndev % tp:
+                raise ValueError(f"tp={tp} does not divide {ndev} devices")
+            mesh = create_mesh_2d(ndev // tp, tp)
+        else:
+            mesh = create_mesh()
         params = mh.variables["params"]
         batch_stats = mh.variables.get("batch_stats", {})
         opt_state = tx.init(params)
@@ -334,12 +344,33 @@ class BaseTrainer(CallbackMixin):
                             f"(step {step0}, fitness {self.best_fitness:.4f})")
         ema0 = (ck.get("ema_params") if args.resume and ck is not None else None) \
             or jax.tree.map(lambda p: np.array(p, copy=True), params)
-        state = TrainState(
-            params=replicate_tree(params, mesh),
-            batch_stats=replicate_tree(batch_stats, mesh),
-            opt_state=replicate_tree(opt_state, mesh),
-            ema_params=replicate_tree(ema0, mesh),
-            step=jnp.int32(step0), ema_updates=jnp.int32(ema_updates0))
+        fsdp = bool(getattr(args, "fsdp", False))
+        if tp > 1 and fsdp:
+            raise ValueError("tp>1 and fsdp are mutually exclusive")
+        if tp > 1 or fsdp:
+            # tp: conv output channels sharded over the model axis;
+            # fsdp: ZeRO-style param/opt-state sharding over the data axis.
+            # Momentum/EMA mirror the param layout either way.
+            from ..parallel.mesh import (fsdp_param_sharding, mirror_sharding,
+                                         shard_tree_like, tp_param_sharding)
+            psh = (tp_param_sharding(params, mesh) if tp > 1
+                   else fsdp_param_sharding(params, mesh))
+            state = TrainState(
+                params=shard_tree_like(params, psh),
+                batch_stats=shard_tree_like(
+                    batch_stats, mirror_sharding(params, psh, batch_stats,
+                                                 mesh)),
+                opt_state=shard_tree_like(
+                    opt_state, mirror_sharding(params, psh, opt_state, mesh)),
+                ema_params=shard_tree_like(ema0, psh),
+                step=jnp.int32(step0), ema_updates=jnp.int32(ema_updates0))
+        else:
+            state = TrainState(
+                params=replicate_tree(params, mesh),
+                batch_stats=replicate_tree(batch_stats, mesh),
+                opt_state=replicate_tree(opt_state, mesh),
+                ema_params=replicate_tree(ema0, mesh),
+                step=jnp.int32(step0), ema_updates=jnp.int32(ema_updates0))
         augment_fn = None
         if dev_aug:
             from functools import partial

@@ -60,6 +60,96 @@ def replicate_tree(tree, mesh: Mesh):
     return jax.device_put(tree, sh)
 
 
+def create_mesh_2d(n_data: int, n_model: int,
+                   axes=("data", "model")) -> Mesh:
+    """2-D (data x model) mesh for combined DP + channel tensor-parallelism.
+
+    Lay the model axis innermost so its collectives (the all-gathers /
+    reduce-scatters around channel-sharded convs) ride neighboring-chip ICI
+    links while data-parallel gradient all-reduce spans the outer axis —
+    the standard ICI-friendly layout (scaling-book recipe; contrast with the
+    reference's flat NCCL world, yolo/utils/dist.py:26-61)."""
+    devs = jax.devices()
+    need = n_data * n_model
+    if len(devs) < need:
+        raise ValueError(f"mesh {n_data}x{n_model} needs {need} devices, "
+                         f"have {len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(n_data, n_model), axes)
+
+
+def tp_param_sharding(params, mesh: Mesh, model_axis: str = "model",
+                      min_channels: int = 64):
+    """Channel tensor-parallel layout for a conv-net param tree.
+
+    Shards the trailing (output-channel) dimension of every array whose last
+    dim is divisible by the model-axis size and at least `min_channels`
+    wide — conv kernels are HWIO, dense kernels IO, and per-channel
+    bias/scale/BN vectors follow their producing conv, so "shard the last
+    axis" is layout-consistent across the whole tree: each model shard owns
+    a channel slice end-to-end and XLA/GSPMD inserts the halo-free
+    all-gathers only where a spatial conv consumes the full input-channel
+    extent. Small vectors and odd-sized leaves stay replicated.
+
+    Returns a pytree of NamedShardings (same structure as `params`).
+    """
+    size = mesh.shape[model_axis]
+
+    def spec(x):
+        shape = np.shape(x)
+        if (shape and shape[-1] >= min_channels and shape[-1] % size == 0):
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1) + [model_axis])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, params)
+
+
+def shard_tree_like(tree, shardings):
+    """device_put a pytree with a matching pytree of shardings; extra leaves
+    in optimizer state that don't mirror a param shape are replicated."""
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), tree, shardings)
+
+
+def fsdp_param_sharding(params, mesh: Mesh, axis: str = "data",
+                        min_elems: int = 4096):
+    """ZeRO-style fully-sharded layout over the data axis.
+
+    Each param (and, via mirror_sharding, its optimizer/EMA buffers) is
+    split along its largest axis-divisible dimension across the data-
+    parallel workers; XLA all-gathers a param just before its op needs it
+    and reduce-scatters its gradient — N-fold memory for params + opt
+    state with only layout annotations (the reference has no analog; its
+    DDP replicates everything per rank). Small leaves stay replicated.
+    """
+    size = mesh.shape[axis]
+
+    def spec(x):
+        shape = np.shape(x)
+        if shape and int(np.prod(shape)) >= min_elems:
+            # widest divisible dim gives the most even split
+            cands = [d for d in range(len(shape)) if shape[d] % size == 0]
+            if cands:
+                d = max(cands, key=lambda i: shape[i])
+                parts = [None] * len(shape)
+                parts[d] = axis
+                return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, params)
+
+
+def mirror_sharding(params, params_sharding, tree, mesh: Mesh):
+    """Sharding tree for an opt-state/EMA pytree: leaves whose shape matches
+    a sharded param reuse that param's spec (SGD/Adam momentum buffers mirror
+    the params they accompany); every other leaf — step counters, schedule
+    scalars — is replicated."""
+    by_shape = {}
+    for p, s in zip(jax.tree.leaves(params), jax.tree.leaves(params_sharding)):
+        by_shape.setdefault(np.shape(p), s)
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: by_shape.get(np.shape(x), rep), tree)
+
+
 def pad_batch_to(batch: Dict, global_batch: int) -> Dict:
     """Pad a possibly-short final batch up to the static global batch size.
 
