@@ -579,7 +579,7 @@ class DyDCNv2(nn.Module):
         bias = None if self.with_norm else self.param(
             "bias", nn.initializers.zeros, (self.c2,))
         y = modulated_deform_conv2d(x, offset, mask, w.astype(self.dtype), bias,
-                                    stride=self.stride, padding=1)
+                                    stride=self.stride, padding=1, train=train)
         if self.with_norm:
             y = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype,
                              param_dtype=jnp.float32, name="gn")(y)

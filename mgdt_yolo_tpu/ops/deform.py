@@ -8,13 +8,19 @@ v5e: a (128, 6400)-index gather costs ~16 ms whether rows are 64 or 256
 channels wide). So instead of 9 taps x 4 bilinear corners = 36 gathers, we
 pack each position's 2x2 corner neighborhood into one 4C-wide row of a
 padded "quad" tensor and fetch ALL taps' corners with ONE gather of
-(B, P*9) indices — 5x faster end-to-end, bit-identical output.
+(B, P*9) indices — 5x faster end-to-end, bit-identical output ('exact').
+The serving path goes further: modulated_deform_conv2d_patch removes the
+gather entirely (static im2col + one-hot bilinear weights on the MXU,
+measured 1.9x the exact op / 1.57x whole-model on v5e), exact for offsets
+within its +/-2 px window.
 
 Offset channel convention matches mmcv: for tap k (row-major over the 3x3
 window), offset[..., 2k] is the y-shift and offset[..., 2k+1] the x-shift;
 mask has one channel per tap, already sigmoid-activated by the caller.
 """
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +29,9 @@ import jax.numpy as jnp
 def modulated_deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                             weight: jnp.ndarray, bias: jnp.ndarray | None = None,
                             stride: int = 1, padding: int = 1,
-                            dilation: int = 1) -> jnp.ndarray:
+                            dilation: int = 1,
+                            method: str = "auto",
+                            train: bool = True) -> jnp.ndarray:
     """DCNv2 forward for NHWC input.
 
     Args:
@@ -32,9 +40,22 @@ def modulated_deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarr
         mask: (B, Ho, Wo, kh*kw) modulation scalars in [0, 1].
         weight: (kh, kw, Cin, Cout) HWIO kernel.
         bias: (Cout,) or None.
+        method: 'exact' (unbounded-offset gather), 'patch' (gather-free
+            static-window kernel, see modulated_deform_conv2d_patch), or
+            'auto': patch for the eval path of the standard 3x3/s1/d1
+            config, exact otherwise (training keeps unbounded semantics
+            and the tested gradient path).
+        train: eval-vs-train hint consumed by method='auto'.
     Returns:
         (B, Ho, Wo, Cout).
     """
+    if method == "auto":
+        std = (stride == 1 and padding == 1 and dilation == 1
+               and weight.shape[0] == weight.shape[1] == 3)
+        method = ("patch" if std and not train
+                  and not os.environ.get("MGDT_DEFORM_EXACT") else "exact")
+    if method == "patch":
+        return modulated_deform_conv2d_patch(x, offset, mask, weight, bias)
     B, H, W, Cin = x.shape
     kh, kw, _, Cout = weight.shape
     K = kh * kw
@@ -86,3 +107,80 @@ def modulated_deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarr
     if bias is not None:
         out = out + bias
     return out.reshape(B, Ho, Wo, Cout).astype(x.dtype)
+
+
+def modulated_deform_conv2d_patch(x: jnp.ndarray, offset: jnp.ndarray,
+                                  mask: jnp.ndarray, weight: jnp.ndarray,
+                                  bias: jnp.ndarray | None = None,
+                                  M: int = 8, chunk: int = 32) -> jnp.ndarray:
+    """Gather-free DCNv2 for the standard 3x3 / stride 1 / dilation 1 case.
+
+    Every tap of output pixel (i, j) samples near base (i-1, j-1)+tap, so an
+    MxM window whose origin is a *static* function of the output grid covers
+    all taps for offsets within +/-2 px (corner taps bound the window;
+    center taps get +/-3). That turns the data-dependent
+    gather (per-index-overhead bound on TPU: ~20 ns/row regardless of width)
+    into (a) a static im2col — M*M shifted slices, pure HBM bandwidth — and
+    (b) per-(pixel, tap) bilinear one-hot weights contracted against the
+    window on the MXU. Bit-equal to the exact path whenever every tap's
+    bilinear support lies inside its window; larger offsets clamp to the
+    window edge (the serving trade-off; training and parity testing use the
+    unbounded `exact` path — see `method` in modulated_deform_conv2d).
+    """
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weight.shape
+    assert kh == 3 and kw == 3, "patch method is specialized to 3x3"
+    K = 9
+    P = H * W
+    f32 = jnp.float32
+
+    if B > chunk:  # bound the im2col intermediate (~P*M*M*C per image)
+        assert B % chunk == 0, "batch must be a multiple of the chunk size"
+        return jax.lax.map(
+            lambda t: modulated_deform_conv2d_patch(*t, weight, bias, M=M,
+                                                    chunk=chunk),
+            (x.reshape(B // chunk, chunk, H, W, Cin),
+             offset.reshape(B // chunk, chunk, H, W, offset.shape[-1]),
+             mask.reshape(B // chunk, chunk, H, W, K)),
+        ).reshape(B, H, W, Cout)
+
+    # static im2col: patch[b, (i,j), c, (qy,qx)] = xpad[b, i+qy, j+qx, c];
+    # window origin (i-3, j-3) == padded coord (i, j) with 3 rows of pre-pad.
+    # XLA's native patches op keeps the feature dim lane-aligned (C*M*M wide)
+    # — hand-stacked views here produced catastrophically padded (…,1,C)
+    # copies on TPU. Output feature order is channel-major: c*M*M + qy*M + qx.
+    patch = jax.lax.conv_general_dilated_patches(
+        x, filter_shape=(M, M), window_strides=(1, 1),
+        padding=((3, M - 4), (3, M - 4)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    patch = patch.reshape(B, P, Cin, M * M)
+
+    gy, gx = jnp.meshgrid(jnp.arange(H, dtype=f32) - 1,
+                          jnp.arange(W, dtype=f32) - 1, indexing="ij")
+    ty = (jnp.arange(K) // kw).astype(f32)
+    tx = (jnp.arange(K) % kw).astype(f32)
+    off = offset.reshape(B, P, K, 2).astype(f32)
+    ry = ty.reshape(1, 1, K) + off[..., 0] + 2.0  # window-relative position
+    rx = tx.reshape(1, 1, K) + off[..., 1] + 2.0
+    py = gy.reshape(1, P, 1) + ty.reshape(1, 1, K) + off[..., 0]  # absolute
+    px = gx.reshape(1, P, 1) + tx.reshape(1, 1, K) + off[..., 1]
+    valid = (py > -1.0) & (py < H) & (px > -1.0) & (px < W)
+
+    def axis_w(r):
+        r0 = jnp.clip(jnp.floor(r), 0, M - 2)
+        f = jnp.clip(r - r0, 0.0, 1.0)
+        slots = jnp.arange(M, dtype=f32)
+        oh0 = (slots == r0[..., None]).astype(f32)
+        oh1 = (slots == (r0 + 1)[..., None]).astype(f32)
+        return oh0 * (1 - f)[..., None] + oh1 * f[..., None]  # (B, P, K, M)
+
+    wk = mask.reshape(B, P, K).astype(f32) * valid
+    w2d = jnp.einsum("bpki,bpkj->bpkij", axis_w(ry) * wk[..., None],
+                     axis_w(rx)).reshape(B, P, K, M * M)
+    sampled = jnp.einsum("bpkq,bpcq->bpkc", w2d.astype(x.dtype), patch)
+    out = jnp.einsum("bpkc,kco->bpo", sampled,
+                     weight.reshape(K, Cin, Cout).astype(sampled.dtype),
+                     preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return out.reshape(B, H, W, Cout).astype(x.dtype)

@@ -222,3 +222,41 @@ class TestDeformConv:
 
         g = jax.grad(f)(jnp.full((B, H, W, 18), 0.3))
         assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
+
+    def test_patch_method_matches_exact(self, rng):
+        """The gather-free serving kernel equals the exact path for offsets
+        within the 8x8 window's universal +/-2 px coverage (trained TOOD
+        offset convs stay well inside), including image-border pixels and
+        modulation masks."""
+        B, H, W, C, O = 2, 12, 10, 4, 6
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        w = rng.standard_normal((3, 3, C, O)).astype(np.float32) * 0.2
+        offset = (rng.uniform(-1.9, 1.9, (B, H, W, 18))).astype(np.float32)
+        mask = rng.uniform(0, 1, (B, H, W, 9)).astype(np.float32)
+        exact = ops.modulated_deform_conv2d(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(w), method="exact")
+        patch = ops.modulated_deform_conv2d(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(w), method="patch")
+        np.testing.assert_allclose(np.asarray(patch), np.asarray(exact),
+                                   atol=2e-4)
+        # auto: eval dispatches to patch, train to exact
+        auto_eval = ops.modulated_deform_conv2d(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(w), method="auto", train=False)
+        np.testing.assert_allclose(np.asarray(auto_eval), np.asarray(exact),
+                                   atol=2e-4)
+
+    def test_patch_method_clamps_extreme_offsets(self, rng):
+        """Out-of-window offsets clamp instead of sampling exactly — the
+        documented serving trade-off stays bounded (no NaN/garbage)."""
+        B, H, W, C = 1, 8, 8, 2
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        w = rng.standard_normal((3, 3, C, 2)).astype(np.float32) * 0.2
+        offset = np.full((B, H, W, 18), 9.0, np.float32)  # way outside
+        mask = np.ones((B, H, W, 9), np.float32)
+        out = np.asarray(ops.modulated_deform_conv2d(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(w), method="patch"))
+        assert np.isfinite(out).all()
