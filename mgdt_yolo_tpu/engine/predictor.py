@@ -100,7 +100,8 @@ class BasePredictor(CallbackMixin):
                 self.results.append(r)
             self.run_callbacks("on_predict_postprocess_end")
             for r, c in zip(self.results, chunk):
-                if self.args.save or self.args.save_txt:
+                if (self.args.save or self.args.save_txt
+                        or getattr(self.args, 'save_crop', False)):
                     self._save(r, c)
                 yield r
         for vw in self._video_writers.values():
@@ -127,6 +128,13 @@ class BasePredictor(CallbackMixin):
                 cv2.imwrite(str(save_dir / f"{stem}.jpg"), r.plot())
         if self.args.save_txt:
             r.save_txt(save_dir / "labels" / f"{stem}.txt", self.args.save_conf)
+        if getattr(self.args, "save_crop", False) and r.boxes is not None:
+            from ..utils.plotting import save_one_box
+            names = r.names or {}
+            for row in np.asarray(r.boxes.data):
+                cname = str(names.get(int(row[5]), int(row[5])))
+                save_one_box(row[:4], r.orig_img,  # BGR in, RGB crop out
+                             file=save_dir / "crops" / cname / f"{stem}.jpg")
 
     def __call__(self, source, stream: bool = False, batch: int = 1):
         gen = self.stream_inference(source, batch)

@@ -279,6 +279,39 @@ class BaseTrainer(CallbackMixin):
             self.model_holder = DetectionModel(self.args.model or "yolov8n.yaml")
         return self.model_holder
 
+    def _plot_train_start(self, train_ds, loader):
+        """labels.jpg + train_batch0.jpg at train start (reference
+        trainer.py plots=True path, plotting.py:231-278/299-430)."""
+        try:
+            from ..utils.plotting import plot_images, plot_labels
+            names = getattr(self.model_holder, "names", {}) or {}
+            rows = []
+            for i in range(min(len(train_ds), 1000)):
+                it = train_ds[i]
+                h, w = it["img"].shape[:2]
+                b = np.asarray(it["boxes"], np.float32).reshape(-1, 4)
+                if len(b):
+                    xywh = np.stack([(b[:, 0] + b[:, 2]) / 2 / w,
+                                     (b[:, 1] + b[:, 3]) / 2 / h,
+                                     (b[:, 2] - b[:, 0]) / w,
+                                     (b[:, 3] - b[:, 1]) / h], -1)
+                    rows.append((xywh, np.asarray(it["cls"]).ravel()))
+            if rows:
+                plot_labels(np.concatenate([r[0] for r in rows]),
+                            np.concatenate([r[1] for r in rows]), names,
+                            str(self.save_dir))
+            batch = next(iter(loader))
+            if "img" in batch:
+                boxes = [np.concatenate(
+                    [batch["gt_bboxes"][j][batch["mask_gt"][j]],
+                     np.ones((int(batch["mask_gt"][j].sum()), 1)),
+                     batch["gt_labels"][j][batch["mask_gt"][j]][:, None]], 1)
+                    for j in range(len(batch["img"]))]
+                plot_images(batch["img"].astype(np.float32) / 255.0, boxes,
+                            names, str(self.save_dir / "train_batch0.jpg"))
+        except Exception as e:  # plotting must never kill a run
+            LOGGER.warning(f"train-start plots failed: {e}")
+
     # ---- train loop ------------------------------------------------------
     def train(self):
         from ..utils.callbacks_integrations import add_integration_callbacks
@@ -401,6 +434,8 @@ class BaseTrainer(CallbackMixin):
 
         stopper = EarlyStopping(args.patience)
         self.run_callbacks("on_train_start")
+        if getattr(args, "plots", False):
+            self._plot_train_start(train_ds, loader)
         LOGGER.info(f"training {args.model} for {args.epochs} epochs on "
                     f"{len(train_ds)} images (batch {args.batch}, "
                     f"{jax.device_count()} device(s))")

@@ -86,6 +86,72 @@ def plot_images(images: np.ndarray, batch_boxes: List[np.ndarray],
     return fname
 
 
+def plot_labels(boxes: np.ndarray, cls: np.ndarray, names: Dict[int, str],
+                save_dir: str = "."):
+    """Dataset label statistics -> labels.jpg (reference plotting.py:231-278,
+    seaborn correlogram replaced by matplotlib hist2d panels).
+
+    boxes: (n, 4) normalized xywh; cls: (n,) class ids.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    cls = np.asarray(cls).astype(int).ravel()
+    fig, axes = plt.subplots(2, 2, figsize=(10, 10))
+    nc = int(cls.max()) + 1 if len(cls) else 1
+    axes[0, 0].hist(cls, bins=np.arange(nc + 1) - 0.5, rwidth=0.8)
+    axes[0, 0].set_xticks(range(nc))
+    axes[0, 0].set_xticklabels([str(names.get(i, i)) for i in range(nc)],
+                               rotation=90, fontsize=8)
+    axes[0, 0].set_ylabel("instances")
+    # box-outline overlay at a common center (reference's "boxes" panel)
+    axes[0, 1].set_title("boxes")
+    for row in boxes[:500]:
+        w, h = row[2], row[3]
+        axes[0, 1].add_patch(plt.Rectangle((0.5 - w / 2, 0.5 - h / 2), w, h,
+                                           fill=False, lw=0.6))
+    axes[0, 1].set_xlim(0, 1)
+    axes[0, 1].set_ylim(0, 1)
+    if len(boxes):
+        axes[1, 0].hist2d(boxes[:, 0], boxes[:, 1], bins=50, cmap="Blues")
+        axes[1, 1].hist2d(boxes[:, 2], boxes[:, 3], bins=50, cmap="Blues")
+    axes[1, 0].set_xlabel("x")
+    axes[1, 0].set_ylabel("y")
+    axes[1, 1].set_xlabel("width")
+    axes[1, 1].set_ylabel("height")
+    fig.tight_layout()
+    out = Path(save_dir) / "labels.jpg"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return str(out)
+
+
+def save_one_box(xyxy, im: np.ndarray, file="im.jpg", gain: float = 1.02,
+                 pad: int = 10, square: bool = False, BGR: bool = False,
+                 save: bool = True):
+    """Save/return a gain*wh + pad crop around a box (reference
+    plotting.py:281-295; predictor save_crop path)."""
+    r = np.asarray(xyxy, np.float32).reshape(-1, 4)[0]
+    cx, cy = (r[0] + r[2]) / 2, (r[1] + r[3]) / 2
+    bw, bh = r[2] - r[0], r[3] - r[1]
+    if square:
+        bw = bh = max(bw, bh)
+    bw, bh = bw * gain + pad, bh * gain + pad  # reference: +pad total, not per side
+    box = np.array([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], int)
+    h, w = im.shape[:2]
+    x1, y1 = max(box[0], 0), max(box[1], 0)
+    x2, y2 = min(box[2], w), min(box[3], h)
+    crop = im[y1:y2, x1:x2, ::(1 if BGR else -1)]
+    if save:
+        from ..utils import increment_path
+        f = Path(increment_path(Path(file))).with_suffix(".jpg")
+        f.parent.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(f), crop[..., ::-1])  # write BGR on disk
+    return crop
+
+
 def plot_results(csv_file: str, out: Optional[str] = None):
     """Training curves from results.csv (reference plotting.py:431-483)."""
     import csv as csv_mod

@@ -1,4 +1,5 @@
 """Unit tests: metrics/AP, counting, config system, instances, data utils."""
+from pathlib import Path
 import numpy as np
 import pytest
 
@@ -138,3 +139,40 @@ class TestDataUtils:
         out = convert_coco(str(jf), str(tmp_path / "labels"))
         txt = (out / "x.txt").read_text().split()
         assert txt[0] == "0" and float(txt[1]) == pytest.approx(0.2)
+
+
+class TestPlottingExtras:
+    def test_plot_labels(self, tmp_path):
+        from mgdt_yolo_tpu.utils.plotting import plot_labels
+        rng = np.random.default_rng(0)
+        xywh = rng.uniform(0.2, 0.6, (40, 4)).astype(np.float32)
+        cls = rng.integers(0, 3, 40)
+        out = plot_labels(xywh, cls, {0: "a", 1: "b", 2: "c"}, str(tmp_path))
+        assert Path(out).is_file() and Path(out).stat().st_size > 0
+
+    def test_save_one_box(self, tmp_path):
+        from mgdt_yolo_tpu.utils.plotting import save_one_box
+        im = np.zeros((60, 80, 3), np.uint8)
+        im[20:40, 30:50] = (10, 200, 30)  # BGR block
+        f = tmp_path / "crops" / "c" / "x.jpg"
+        crop = save_one_box(np.array([30, 20, 50, 40], np.float32), im, file=f)
+        # gain*wh + pad total -> ~half the pad on each side
+        assert crop.shape[0] > 20 and crop.shape[1] > 20
+        # returned crop is RGB (green block stays green in channel 1)
+        assert crop[crop.shape[0] // 2, crop.shape[1] // 2, 1] > 150
+        assert list(tmp_path.glob("crops/c/*.jpg"))
+
+    def test_trainer_plots_hook(self, tmp_path):
+        from mgdt_yolo_tpu.data.build import build_dataloader
+        from mgdt_yolo_tpu.data.dataset import SyntheticDetectionDataset
+        from mgdt_yolo_tpu.engine.trainer import DetectionTrainer
+        t = DetectionTrainer(overrides={"model": "yolov8n.yaml", "imgsz": 64,
+                                        "plots": True,
+                                        "project": str(tmp_path)})
+        t.setup_model()
+        ds = SyntheticDetectionDataset(n=8, imgsz=64, nc=2)
+        dl = build_dataloader(ds, 4, 64, train=True, workers=1, hyp=t.args)
+        t.save_dir.mkdir(parents=True, exist_ok=True)
+        t._plot_train_start(ds, dl)
+        assert (t.save_dir / "labels.jpg").is_file()
+        assert (t.save_dir / "train_batch0.jpg").is_file()
