@@ -52,7 +52,9 @@ def modulated_deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarr
     if method == "auto":
         std = (stride == 1 and padding == 1 and dilation == 1
                and weight.shape[0] == weight.shape[1] == 3)
-        method = ("patch" if std and not train
+        use_patch = std and (not train
+                             or os.environ.get("MGDT_DEFORM_FAST_TRAIN"))
+        method = ("patch" if use_patch
                   and not os.environ.get("MGDT_DEFORM_EXACT") else "exact")
     if method == "patch":
         return modulated_deform_conv2d_patch(x, offset, mask, weight, bias)
@@ -166,6 +168,9 @@ def modulated_deform_conv2d_patch(x: jnp.ndarray, offset: jnp.ndarray,
     px = gx.reshape(1, P, 1) + tx.reshape(1, 1, K) + off[..., 1]
     valid = (py > -1.0) & (py < H) & (px > -1.0) & (px < W)
 
+    # per-axis one-hot bilinear weights, outer-product combined to M*M slots
+    # (weights computed f32, stored/contracted in the compute dtype — the
+    # big (B,P,K,M,M) intermediate is bandwidth, not precision, critical)
     def axis_w(r):
         r0 = jnp.clip(jnp.floor(r), 0, M - 2)
         f = jnp.clip(r - r0, 0.0, 1.0)
@@ -175,9 +180,10 @@ def modulated_deform_conv2d_patch(x: jnp.ndarray, offset: jnp.ndarray,
         return oh0 * (1 - f)[..., None] + oh1 * f[..., None]  # (B, P, K, M)
 
     wk = mask.reshape(B, P, K).astype(f32) * valid
-    w2d = jnp.einsum("bpki,bpkj->bpkij", axis_w(ry) * wk[..., None],
-                     axis_w(rx)).reshape(B, P, K, M * M)
-    sampled = jnp.einsum("bpkq,bpcq->bpkc", w2d.astype(x.dtype), patch)
+    w2d = jnp.einsum("bpki,bpkj->bpkij",
+                     (axis_w(ry) * wk[..., None]).astype(x.dtype),
+                     axis_w(rx).astype(x.dtype)).reshape(B, P, K, M * M)
+    sampled = jnp.einsum("bpkq,bpcq->bpkc", w2d, patch)
     out = jnp.einsum("bpkc,kco->bpo", sampled,
                      weight.reshape(K, Cin, Cout).astype(sampled.dtype),
                      preferred_element_type=jnp.float32)

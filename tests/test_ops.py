@@ -260,3 +260,17 @@ class TestDeformConv:
             jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
             jnp.asarray(w), method="patch"))
         assert np.isfinite(out).all()
+
+    def test_fast_train_env_escape(self, rng, monkeypatch):
+        """MGDT_DEFORM_FAST_TRAIN opts training into the patch kernel."""
+        B, H, W, C = 1, 6, 6, 2
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        w = rng.standard_normal((3, 3, C, 2)).astype(np.float32) * 0.2
+        offset = rng.uniform(-1.0, 1.0, (B, H, W, 18)).astype(np.float32)
+        mask = np.ones((B, H, W, 9), np.float32)
+        args = (jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+                jnp.asarray(w))
+        monkeypatch.setenv("MGDT_DEFORM_FAST_TRAIN", "1")
+        fast = ops.modulated_deform_conv2d(*args, method="auto", train=True)
+        want = ops.modulated_deform_conv2d(*args, method="patch")
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(want))

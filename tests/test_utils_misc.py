@@ -176,3 +176,27 @@ class TestPlottingExtras:
         t._plot_train_start(ds, dl)
         assert (t.save_dir / "labels.jpg").is_file()
         assert (t.save_dir / "train_batch0.jpg").is_file()
+
+
+class TestFilesUtils:
+    def test_file_helpers(self, tmp_path):
+        from mgdt_yolo_tpu.utils.files import (WorkingDirectory, file_age,
+                                               file_date, file_size,
+                                               get_latest_run, spaces_in_path)
+        f = tmp_path / "weights" / "last.ckpt"
+        f.parent.mkdir()
+        f.write_bytes(b"x" * 2048)
+        assert file_age(f) == 0
+        assert len(file_date(f).split("-")) == 3
+        assert file_size(f) > 0 and file_size(tmp_path) >= file_size(f)
+        assert get_latest_run(str(tmp_path)).endswith("last.ckpt")
+        import os
+        cwd = os.getcwd()
+        with WorkingDirectory(tmp_path):
+            assert os.getcwd() == str(tmp_path)
+        assert os.getcwd() == cwd
+        d = tmp_path / "with space.txt"
+        d.write_text("hi")
+        with spaces_in_path(d) as p:
+            assert " " not in str(p) and p.read_text() == "hi"
+        assert d.read_text() == "hi"
