@@ -52,10 +52,21 @@ def modulated_deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarr
     if method == "auto":
         std = (stride == 1 and padding == 1 and dilation == 1
                and weight.shape[0] == weight.shape[1] == 3)
-        use_patch = std and (not train
-                             or os.environ.get("MGDT_DEFORM_FAST_TRAIN"))
-        method = ("patch" if use_patch
-                  and not os.environ.get("MGDT_DEFORM_EXACT") else "exact")
+        fast = std and (not train
+                        or os.environ.get("MGDT_DEFORM_FAST_TRAIN"))
+        if fast and not os.environ.get("MGDT_DEFORM_EXACT"):
+            # TPU serving: the Pallas VMEM kernel (3.6x the XLA patch path);
+            # other backends / odd shapes: the XLA patch formulation
+            from .pallas_deform import RB
+            method = ("pallas" if jax.default_backend() == "tpu"
+                      and x.shape[1] % RB == 0
+                      and not os.environ.get("MGDT_DEFORM_NO_PALLAS")
+                      else "patch")
+        else:
+            method = "exact"
+    if method == "pallas":
+        from .pallas_deform import modulated_deform_conv2d_pallas
+        return modulated_deform_conv2d_pallas(x, offset, mask, weight, bias)
     if method == "patch":
         return modulated_deform_conv2d_patch(x, offset, mask, weight, bias)
     B, H, W, Cin = x.shape

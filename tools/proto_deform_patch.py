@@ -21,6 +21,7 @@ import numpy as np
 
 from mgdt_yolo_tpu.ops.deform import (modulated_deform_conv2d,
                                       modulated_deform_conv2d_patch)
+from mgdt_yolo_tpu.ops.pallas_deform import modulated_deform_conv2d_pallas
 
 
 def main(batch=128):
@@ -49,6 +50,11 @@ def main(batch=128):
 
     te, oe = timeit(f_exact)
     tp, op = timeit(f_patch)
+    f_pl = jax.jit(lambda *a: modulated_deform_conv2d_pallas(*a))
+    tl, ol = timeit(f_pl)
+    dl = np.abs(np.asarray(op, np.float32) - np.asarray(ol, np.float32))
+    print(f"pallas: {tl * 1e3:.1f} ms  (vs patch {tp / tl:.2f}x, vs exact "
+          f"{te / tl:.2f}x)  maxdiff-vs-patch {dl.max():.6f}")
     d = np.abs(np.asarray(oe, np.float32) - np.asarray(op, np.float32))
     print(f"exact: {te * 1e3:.1f} ms   patch: {tp * 1e3:.1f} ms   "
           f"speedup {te / tp:.2f}x")

@@ -66,9 +66,31 @@ def main(B=32, H=80, W=80, C=32, M=8, K=9):  # B=32 == the lax.map chunk
         return jnp.einsum("bpkc,kco->bpo", s, wgt,
                           preferred_element_type=jnp.float32)
 
-    print(f"im2col:   {timeit(stage_im2col, (x,)) * 1e3:7.1f} ms")
-    print(f"w2d:      {timeit(stage_w2d, (ry, rx)) * 1e3:7.1f} ms")
-    print(f"contract: {timeit(stage_contract, (w2d, patch_in)) * 1e3:7.1f} ms")
+    w2d_t = jnp.asarray(rng.uniform(0, 1, (B, P, M * M, K)), dt)
+    patch_q = jnp.asarray(rng.standard_normal((B, P, M * M, C)), dt)
+
+    @jax.jit
+    def stage_contract_t(w2d_t, patch_q):
+        # contraction over q as second-minor for both operands
+        s = jnp.einsum("bpqk,bpqc->bpkc", w2d_t, patch_q)
+        return jnp.einsum("bpkc,kco->bpo", s, wgt,
+                          preferred_element_type=jnp.float32)
+
+    @jax.jit
+    def stage_im2col_concat(x):
+        # two-stage channel concat: q-major feature order qy*(M*C)+qx*C+c,
+        # lane-aligned copies only (no one-hot conv like the patches op)
+        xpad = jnp.pad(x, ((0, 0), (3, M - 4), (3, M - 4), (0, 0)))
+        cols = jnp.concatenate([xpad[:, :, qx:qx + W, :] for qx in range(M)],
+                               axis=-1)
+        pat = jnp.concatenate([cols[:, qy:qy + H] for qy in range(M)], axis=-1)
+        return pat.reshape(B, P, M * M, C)
+
+    print(f"im2col:        {timeit(stage_im2col, (x,)) * 1e3:7.1f} ms")
+    print(f"im2col_concat: {timeit(stage_im2col_concat, (x,)) * 1e3:7.1f} ms")
+    print(f"w2d:           {timeit(stage_w2d, (ry, rx)) * 1e3:7.1f} ms")
+    print(f"contract:      {timeit(stage_contract, (w2d, patch_in)) * 1e3:7.1f} ms")
+    print(f"contract_t:    {timeit(stage_contract_t, (w2d_t, patch_q)) * 1e3:7.1f} ms")
 
 
 if __name__ == "__main__":
