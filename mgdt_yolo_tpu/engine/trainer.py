@@ -499,6 +499,7 @@ class BaseTrainer(CallbackMixin):
         from .validator import DetectionValidator
         val_ds = self.get_dataset(train=False)
         validator = DetectionValidator(args=self.args)
+        validator.args.save_dir = str(self.save_dir)  # val plots land with the run
         variables = {"params": jax.device_get(state.ema_params),
                      "batch_stats": jax.device_get(state.batch_stats)}
         return validator(self.model_holder, variables, dataset=val_ds)

@@ -38,6 +38,27 @@ class DetectionValidator(BaseValidator):
         super().__init__(args, dataloader)
         self.iouv = np.linspace(0.5, 0.95, 10)
 
+    def _plot_val_batch(self, batch, dets, counts, model_holder):
+        """val_batch0_labels.jpg / val_batch0_pred.jpg (reference
+        val.py plot_val_samples/plot_predictions)."""
+        try:
+            from pathlib import Path
+
+            from ..utils.plotting import plot_images
+            save_dir = Path(str(getattr(self.args, "save_dir", ".") or "."))
+            names = getattr(model_holder, "names", {}) or {}
+            imgs = np.asarray(batch["img"]).astype(np.float32) / 255.0
+            gt = [np.concatenate(
+                [np.asarray(batch["gt_bboxes"][j][batch["mask_gt"][j]]),
+                 np.ones((int(batch["mask_gt"][j].sum()), 1)),
+                 np.asarray(batch["gt_labels"][j][batch["mask_gt"][j]])[:, None]],
+                1) for j in range(len(imgs))]
+            plot_images(imgs, gt, names, str(save_dir / "val_batch0_labels.jpg"))
+            pred = [np.asarray(dets[j][:int(counts[j])]) for j in range(len(imgs))]
+            plot_images(imgs, pred, names, str(save_dir / "val_batch0_pred.jpg"))
+        except Exception as e:  # plotting must never kill validation
+            LOGGER.warning(f"val plots failed: {e}")
+
     def __call__(self, model_holder, variables=None, dataset=None,
                  max_batches: Optional[int] = None) -> Dict[str, float]:
         args = self.args
@@ -79,6 +100,8 @@ class DetectionValidator(BaseValidator):
             if max_batches and bi >= max_batches:
                 break
             dets, counts = jax.device_get(infer(variables, batch["img"]))
+            if bi == 0 and getattr(args, "plots", False):
+                self._plot_val_batch(batch, dets, counts, model_holder)
             in_shape = tuple(batch["img"].shape[1:3])  # rect: per-batch (h, w)
             metas = batch.get("metas") or [{}] * len(dets)
             for j in range(len(dets)):
@@ -106,6 +129,11 @@ class DetectionValidator(BaseValidator):
                 n_img += 1
         results = metrics.process()
         self.confusion_matrix = cm
+        if getattr(args, "plots", False):
+            try:
+                cm.plot(save_dir=str(getattr(args, "save_dir", ".") or "."))
+            except Exception as e:
+                LOGGER.warning(f"confusion-matrix plot failed: {e}")
         self.metrics = metrics
         self._per_image_preds = per_image_preds  # native-space, for parity
         self._per_image_gts = per_image_gts

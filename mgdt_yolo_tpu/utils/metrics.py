@@ -200,6 +200,41 @@ class ConfusionMatrix:
             if p_ not in mp:
                 self.matrix[int(d[p_, 5]), self.nc] += 1
 
+    def plot(self, save_dir: str = ".", names: Dict[int, str] | None = None,
+             normalize: bool = True):
+        """confusion_matrix.png heatmap (reference metrics.py:283-317,
+        seaborn replaced by matplotlib imshow)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from pathlib import Path
+        m = self.matrix.astype(np.float64)
+        if normalize:
+            m = m / (m.sum(0, keepdims=True) + 1e-9)
+        labels = [str((names or {}).get(i, i)) for i in range(self.nc)] \
+            + ["background"]
+        fig, ax = plt.subplots(figsize=(8, 7))
+        im = ax.imshow(m, cmap="Blues", vmin=0.0)
+        fig.colorbar(im, ax=ax)
+        ax.set_xticks(range(self.nc + 1))
+        ax.set_yticks(range(self.nc + 1))
+        ax.set_xticklabels(labels, rotation=90, fontsize=8)
+        ax.set_yticklabels(labels, fontsize=8)
+        ax.set_xlabel("True")
+        ax.set_ylabel("Predicted")
+        if self.nc < 30:  # annotate cells like the reference's annot=True
+            for i in range(self.nc + 1):
+                for j in range(self.nc + 1):
+                    if m[i, j] > 0.005:
+                        ax.text(j, i, f"{m[i, j]:.2f}", ha="center",
+                                va="center", fontsize=7)
+        fig.tight_layout()
+        out = Path(save_dir) / "confusion_matrix.png"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        fig.savefig(out, dpi=120)
+        plt.close(fig)
+        return str(out)
+
 
 # ---------------------------------------------------------------------------
 # Fork counting metrics — the paper's headline numbers

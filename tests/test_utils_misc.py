@@ -200,3 +200,28 @@ class TestFilesUtils:
         with spaces_in_path(d) as p:
             assert " " not in str(p) and p.read_text() == "hi"
         assert d.read_text() == "hi"
+
+    def test_confusion_matrix_plot(self, tmp_path):
+        from mgdt_yolo_tpu.utils.metrics import ConfusionMatrix
+        cm = ConfusionMatrix(2)
+        det = np.array([[10, 10, 30, 30, 0.9, 0]], np.float32)
+        gt = np.array([[11, 11, 29, 29]], np.float32)
+        cm.process_batch(det, gt, np.array([0.0]))
+        out = cm.plot(save_dir=str(tmp_path), names={0: "a", 1: "b"})
+        assert Path(out).is_file() and Path(out).stat().st_size > 0
+
+    def test_validator_plots(self, tmp_path):
+        import jax
+        from mgdt_yolo_tpu.data.dataset import SyntheticDetectionDataset
+        from mgdt_yolo_tpu.engine.validator import DetectionValidator
+        from mgdt_yolo_tpu.nn.tasks import DetectionModel
+        from mgdt_yolo_tpu.cfg import get_cfg
+        args = get_cfg(overrides={"imgsz": 64, "batch": 4, "plots": True})
+        args.save_dir = str(tmp_path)
+        mh = DetectionModel("yolov8n.yaml", nc=2)
+        ds = SyntheticDetectionDataset(n=4, imgsz=64, nc=2)
+        v = DetectionValidator(args=args)
+        v(mh, dataset=ds, max_batches=1)
+        assert (tmp_path / "val_batch0_labels.jpg").is_file()
+        assert (tmp_path / "val_batch0_pred.jpg").is_file()
+        assert (tmp_path / "confusion_matrix.png").is_file()
