@@ -45,7 +45,10 @@ class DetectionValidator(BaseValidator):
             from pathlib import Path
 
             from ..utils.plotting import plot_images
-            save_dir = Path(str(getattr(self.args, "save_dir", ".") or "."))
+            sd = getattr(self.args, "save_dir", None)
+            if not sd:
+                return  # no run dir to land plots in (bare validator call)
+            save_dir = Path(str(sd))
             names = getattr(model_holder, "names", {}) or {}
             imgs = np.asarray(batch["img"]).astype(np.float32) / 255.0
             gt = [np.concatenate(
@@ -129,9 +132,9 @@ class DetectionValidator(BaseValidator):
                 n_img += 1
         results = metrics.process()
         self.confusion_matrix = cm
-        if getattr(args, "plots", False):
+        if getattr(args, "plots", False) and getattr(args, "save_dir", None):
             try:
-                cm.plot(save_dir=str(getattr(args, "save_dir", ".") or "."))
+                cm.plot(save_dir=str(args.save_dir))
             except Exception as e:
                 LOGGER.warning(f"confusion-matrix plot failed: {e}")
         self.metrics = metrics

@@ -56,9 +56,11 @@ def modulated_deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarr
                         or os.environ.get("MGDT_DEFORM_FAST_TRAIN"))
         if fast and not os.environ.get("MGDT_DEFORM_EXACT"):
             # TPU serving: the Pallas VMEM kernel (3.6x the XLA patch path);
-            # other backends / odd shapes: the XLA patch formulation
+            # training (needs jax.grad — pallas_call has no VJP), other
+            # backends, or odd shapes: the differentiable XLA patch path
             from .pallas_deform import RB
-            method = ("pallas" if jax.default_backend() == "tpu"
+            method = ("pallas" if not train
+                      and jax.default_backend() == "tpu"
                       and x.shape[1] % RB == 0
                       and not os.environ.get("MGDT_DEFORM_NO_PALLAS")
                       else "patch")
