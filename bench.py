@@ -29,8 +29,9 @@ def main():
     from mgdt_yolo_tpu.ops.nms import non_max_suppression
 
     imgsz = 640
-    batch = 128  # single-chip throughput sweet spot (see tools/profile_infer.py:
-    # b64 ~270-320 img/s, b128 ~310, b256 drops to ~257 on HBM pressure)
+    batch = 512  # single-chip sweet spot AFTER the Pallas deform kernel freed
+    # HBM (measured: b128 852, b256 1432, b384 1498, b512 1556 img/s; pre-
+    # kernel, b256 used to LOSE to b128 on memory pressure)
     mh = DetectionModel("mspa_c2f_gd_tood_yolov8.yaml", dtype=jnp.bfloat16).fuse()
     variables = mh.variables
 
