@@ -13,6 +13,7 @@ no FLOPs) instead of the reference's real dummy forward (tasks.py:241-245).
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import math
 import re
 from pathlib import Path
@@ -291,7 +292,11 @@ def fast_init(model: nn.Module, key, dummy: jnp.ndarray) -> Dict:
         shape, dtype = sds.shape, sds.dtype
         if name in ("kernel", "weight", "reduction_weight") and len(shape) >= 2:
             pathstr = "/".join(p.key if hasattr(p, "key") else str(p) for p in path)
-            rng = np.random.default_rng((seed * 1000003 + hash(pathstr)) % (2 ** 63))
+            # stable digest, NOT hash(): str hashing is randomized per process
+            # (PYTHONHASHSEED), which silently broke cross-process determinism
+            phash = int.from_bytes(
+                hashlib.sha256(pathstr.encode()).digest()[:8], "little")
+            rng = np.random.default_rng((seed * 1000003 + phash) % (2 ** 63))
             if len(shape) == 4:  # HWIO conv
                 fan_in = shape[0] * shape[1] * shape[2]
             else:  # dense (in, out)
