@@ -96,28 +96,153 @@ def get_cfg(cfg: Union[str, Path, Dict, SimpleNamespace] = None,
     return IterableSimpleNamespace(**merged)
 
 
-def entrypoint(argv=None):
-    """CLI entry: ``yolo TASK MODE k=v ...`` — minimal parity CLI."""
-    import sys
-    args = list(argv if argv is not None else sys.argv[1:])
-    if not args:
-        LOGGER.info("usage: yolo TASK MODE key=value ...")
-        return
-    overrides = {}
-    task = mode = None
+CLI_HELP_MSG = f"""usage: yolo TASK MODE key=value ...
+
+    TASK (optional): one of {TASKS}
+    MODE (required): one of {MODES}
+    key=value: any config override, e.g. imgsz=320 model=yolov8n.yaml
+
+    Special commands:
+        yolo help               show this message
+        yolo checks             environment / device report
+        yolo version            package version
+        yolo settings           show persistent settings (reset | k=v to edit)
+        yolo cfg                print the default config
+        yolo copy-cfg           copy default.yaml here for customizing
+"""
+
+
+def merge_equals_args(args):
+    """Merge fragments around isolated '=' signs (reference cfg utils):
+    ['imgsz', '=', '640'], ['imgsz=', '640'], ['imgsz', '=640'] all become
+    ['imgsz=640']."""
+    merged = []
     for a in args:
-        if "=" in a:
+        if a == "=" and merged:
+            merged[-1] += "="
+        elif a.startswith("=") and merged:
+            merged[-1] += a
+        elif merged and merged[-1].endswith("="):
+            merged[-1] += a
+        else:
+            merged.append(a)
+    return merged
+
+
+def handle_yolo_settings(args) -> None:
+    """`yolo settings [reset | key=value ...]` (reference
+    cfg/__init__.py:239-257 + yolo/utils get_settings/set_settings)."""
+    from ..utils import SETTINGS_YAML, get_settings, set_settings, yaml_print
+    if args and args[0] == "reset":
+        Path(SETTINGS_YAML).unlink(missing_ok=True)
+        settings = get_settings()
+        LOGGER.info("settings reset to defaults")
+    elif args:
+        kv = {}
+        for a in merge_equals_args(args):
             k, v = a.split("=", 1)
             with contextlib.suppress(ValueError, SyntaxError):
                 import ast
                 v = ast.literal_eval(v)
+            kv[k] = v
+        settings = set_settings(kv)
+    else:
+        settings = get_settings()
+    yaml_print(settings)
+
+
+def copy_default_cfg() -> Path:
+    """Copy default.yaml to CWD as default_copy.yaml (reference
+    cfg/__init__.py:409-414)."""
+    import shutil
+
+    from ..utils import DEFAULT_CFG_PATH
+    new_file = Path.cwd() / Path(DEFAULT_CFG_PATH).name.replace(
+        ".yaml", "_copy.yaml")
+    shutil.copy2(DEFAULT_CFG_PATH, new_file)
+    LOGGER.info(f"{DEFAULT_CFG_PATH} copied to {new_file} — use with "
+                f"'yolo cfg={new_file} imgsz=320'")
+    return new_file
+
+
+def entrypoint(argv=None):
+    """CLI entry: ``yolo TASK MODE k=v ...`` plus the special commands
+    (reference yolo/cfg/__init__.py:260-339)."""
+    import sys
+    args = list(argv if argv is not None else sys.argv[1:])
+    if not args:
+        LOGGER.info(CLI_HELP_MSG)
+        return
+
+    from .. import __version__
+    from ..utils import DEFAULT_CFG_DICT as _DCD
+    from ..utils import yaml_print
+    from ..utils.checks import check_yolo
+    special = {
+        "help": lambda: LOGGER.info(CLI_HELP_MSG),
+        "checks": check_yolo,
+        "version": lambda: LOGGER.info(__version__),
+        "settings": lambda: handle_yolo_settings(args[1:]),
+        "cfg": lambda: yaml_print(_DCD),
+        "copy-cfg": copy_default_cfg}
+    full_args_dict = {**_DCD, **{k: None for k in TASKS},
+                      **{k: None for k in MODES}, **special}
+    # singular and dashed aliases: -h, --help, check, setting, ...
+    special.update({k[0]: v for k, v in special.items()})
+    special.update({k[:-1]: v for k, v in special.items()
+                    if len(k) > 1 and k.endswith("s")})
+    special = {**special, **{f"-{k}": v for k, v in special.items()},
+               **{f"--{k}": v for k, v in special.items()}}
+
+    overrides = {}
+    task = mode = None
+    for a in merge_equals_args(args):
+        if a.startswith("--"):
+            LOGGER.warning(f"'{a}' does not need leading dashes, "
+                           f"using '{a[2:]}'")
+            a = a[2:]
+        if a.endswith(","):
+            a = a[:-1]
+        if "=" in a:
+            k, v = a.split("=", 1)
+            if not v:
+                raise SyntaxError(f"missing value for '{k}='")
+            if k == "cfg":  # custom yaml replaces the override set
+                LOGGER.info(f"overriding defaults with {v}")
+                overrides.update({kk: vv for kk, vv in yaml_load(v).items()
+                                  if kk != "cfg"})
+                continue
+            if isinstance(v, str):
+                low = v.lower()
+                if low == "none":
+                    v = None
+                elif low == "true":
+                    v = True
+                elif low == "false":
+                    v = False
+                else:
+                    with contextlib.suppress(ValueError, SyntaxError):
+                        import ast
+                        v = ast.literal_eval(v)
             overrides[k] = v
         elif a in TASKS:
             task = a
         elif a in MODES:
             mode = a
+        elif a.lower() in special:
+            special[a.lower()]()
+            return
+        elif a in _DCD and isinstance(_DCD[a], bool):
+            overrides[a] = True  # bare bool key: 'yolo show' -> show=True
+        elif a in _DCD:
+            raise SyntaxError(
+                f"'{a}' is a valid key but needs an '=' sign, "
+                f"e.g. '{a}={_DCD[a]}'")
         else:
-            LOGGER.warning(f"{colorstr('yellow', 'WARNING')} ignoring unrecognized argument {a!r}")
+            check_dict_alignment(full_args_dict, {a: ""})
+    check_dict_alignment(full_args_dict, {k: v for k, v in overrides.items()
+                                          if k not in ("save_dir",)})
+
     mode = mode or overrides.pop("mode", "predict")
     if task:
         overrides["task"] = task

@@ -142,9 +142,9 @@ class YOLO:
                                           if k in DEFAULT_CFG_DICT})
         self.predictor = TASK_MAP[self.task][3](args)
         self.predictor.setup_model(self.model)
-        register_tracker(self.predictor, persist=False,
-                         tracker_type=kwargs.get("tracker", "bytetrack"))
-        return self.predictor(source, stream=kwargs.get("stream", False))
+        register_tracker(self.predictor, persist=False)
+        return self.predictor(source, stream=kwargs.get("stream", False),
+                              batch=kwargs.get("batch", 1))
 
     def export(self, **kwargs):
         from .exporter import Exporter

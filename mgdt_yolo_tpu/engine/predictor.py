@@ -77,6 +77,7 @@ class BasePredictor(CallbackMixin):
         items = load_source(source)
         names = self.model_holder.names
         self._video_writers = {}
+        self.dataset_bs = batch  # stream-slot count (reference dataset.bs)
         self.run_callbacks("on_predict_start")
         for i in range(0, len(items), batch):
             chunk = items[i:i + batch]

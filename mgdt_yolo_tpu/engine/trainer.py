@@ -213,6 +213,21 @@ def make_train_step(model, criterion, tx, ema_decay: float = 0.9999,
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def device_augment_unsupported(args) -> Dict[str, Any]:
+    """Augmentation knobs the in-graph TPU pipeline cannot honor.
+
+    ops/device_augment.py implements mosaic4 / scale / translate / flip /
+    HSV — the fork's default hyperparameter surface. Anything else
+    (reference full RandomPerspective + MixUp + CopyPaste,
+    yolo/data/augment.py:289-476) must route through the host pipeline;
+    returning the offending knobs lets the trainer fall back loudly
+    instead of silently dropping them.
+    """
+    return {k: getattr(args, k, 0) for k in
+            ("degrees", "shear", "perspective", "mixup", "copy_paste",
+             "mosaic9") if getattr(args, k, 0)}
+
+
 class EarlyStopping:
     """Fitness-plateau stopper (reference torch_utils.py:463-503)."""
 
@@ -300,7 +315,10 @@ class BaseTrainer(CallbackMixin):
                 plot_labels(np.concatenate([r[0] for r in rows]),
                             np.concatenate([r[1] for r in rows]), names,
                             str(self.save_dir))
-            batch = next(iter(loader))
+            it = iter(loader)
+            batch = next(it)
+            it.close()  # stop the prefetch pool now, not at GC (the 1-core
+            # box needs the CPU for the first XLA compile)
             if "img" in batch:
                 boxes = [np.concatenate(
                     [batch["gt_bboxes"][j][batch["mask_gt"][j]],
@@ -326,6 +344,13 @@ class BaseTrainer(CallbackMixin):
         train_ds = self.get_dataset(train=True)
         dev_aug = bool(getattr(args, "device_augment", False)) and \
             self.__class__.__name__ in ("BaseTrainer", "DetectionTrainer")
+        if dev_aug:
+            unsupported = device_augment_unsupported(args)
+            if unsupported:
+                LOGGER.warning(
+                    f"device_augment=True cannot honor {unsupported} — "
+                    "falling back to the host augmentation pipeline")
+                dev_aug = False
         loader = build_dataloader(train_ds, args.batch, args.imgsz, train=True,
                                   hyp=args, seed=args.seed, workers=args.workers,
                                   device_augment=dev_aug)

@@ -33,10 +33,75 @@ class BaseValidator(CallbackMixin):
         self.init_callbacks()
 
 
+def coco80_to_coco91_class():
+    """80-index → 91-index COCO category ids (reference yolo/utils/ops.py):
+    the val2017 annotation ids skip 11 removed categories."""
+    return [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19,
+            20, 21, 22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38,
+            39, 40, 41, 42, 43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55,
+            56, 57, 58, 59, 60, 61, 62, 63, 64, 65, 67, 70, 72, 73, 74, 75,
+            76, 77, 78, 79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90]
+
+
 class DetectionValidator(BaseValidator):
     def __init__(self, args=None, dataloader=None):
         super().__init__(args, dataloader)
         self.iouv = np.linspace(0.5, 0.95, 10)
+        self.is_coco = False
+        self.class_map = list(range(1000))
+        self.jdict = []
+
+    def pred_to_json(self, predn: np.ndarray, filename) -> None:
+        """Append one image's detections in COCO json rows (reference
+        yolo/v8/detect/val.py:240-252: xywh with the center→top-left corner
+        shift, numeric stems become int image_ids, class_map indirection)."""
+        from pathlib import Path
+        stem = Path(str(filename)).stem
+        image_id = int(stem) if stem.isnumeric() else stem
+        box = predn[:, :4].astype(np.float64)
+        box = np.stack([(box[:, 0] + box[:, 2]) / 2 - (box[:, 2] - box[:, 0]) / 2,
+                        (box[:, 1] + box[:, 3]) / 2 - (box[:, 3] - box[:, 1]) / 2,
+                        box[:, 2] - box[:, 0], box[:, 3] - box[:, 1]], axis=1)
+        for p, b in zip(predn.tolist(), box.tolist()):
+            self.jdict.append({
+                "image_id": image_id,
+                "category_id": self.class_map[int(p[5])],
+                "bbox": [round(x, 3) for x in b],
+                "score": round(p[4], 5)})
+
+    def eval_json(self, results: Dict[str, float]) -> Dict[str, float]:
+        """Write predictions.json and, when pycocotools is importable and
+        COCO annotations exist, refresh mAP from COCOeval (reference
+        val.py:253-278; offline envs get the json artifact + a warning)."""
+        import json
+        from pathlib import Path
+        if not (getattr(self.args, "save_json", False) and self.jdict):
+            return results
+        save_dir = Path(str(getattr(self.args, "save_dir", None) or "."))
+        save_dir.mkdir(parents=True, exist_ok=True)
+        pred_json = save_dir / "predictions.json"
+        with open(pred_json, "w") as f:
+            json.dump(self.jdict, f)
+        LOGGER.info(f"saved {len(self.jdict)} COCO-format predictions to "
+                    f"{pred_json}")
+        anno_json = getattr(self, "anno_json", None)
+        if self.is_coco and anno_json and Path(anno_json).is_file():
+            try:
+                from pycocotools.coco import COCO
+                from pycocotools.cocoeval import COCOeval
+                anno = COCO(str(anno_json))
+                pred = anno.loadRes(str(pred_json))
+                ev = COCOeval(anno, pred, "bbox")
+                ev.evaluate()
+                ev.accumulate()
+                ev.summarize()
+                results["map"], results["map50"] = ev.stats[:2]
+            except ImportError:
+                LOGGER.warning("pycocotools not installed — predictions.json "
+                               "written, COCOeval skipped")
+            except Exception as e:
+                LOGGER.warning(f"pycocotools unable to run: {e}")
+        return results
 
     def _plot_val_batch(self, batch, dets, counts, model_holder):
         """val_batch0_labels.jpg / val_batch0_pred.jpg (reference
@@ -96,6 +161,20 @@ class DetectionValidator(BaseValidator):
         metrics = DetMetrics()
         cm = ConfusionMatrix(model_holder.nc)
         per_image_preds, per_image_gts = [], []
+        self.jdict = []
+        # COCO protocol sniff (reference val.py:47-49): val2017-style split
+        # gets the 91-id class_map and the standard annotation path
+        data_str = str(getattr(args, "data", "") or "")
+        img_path = str(getattr(dataset, "img_path", "") or "")
+        self.is_coco = "coco" in (data_str + img_path) and \
+            "val2017" in (data_str + img_path)
+        self.class_map = (coco80_to_coco91_class() if self.is_coco
+                          else list(range(1000)))
+        if self.is_coco:
+            from pathlib import Path
+            root = Path(img_path).parents[1] if img_path else None
+            self.anno_json = (root / "annotations/instances_val2017.json"
+                              if root else None)
         self.run_callbacks("on_val_start")
         t0 = time.time()
         n_img = 0
@@ -126,6 +205,8 @@ class DetectionValidator(BaseValidator):
                 tp = match_predictions(det_s[:, :4], det_s[:, 5], gt_s, gt_cls,
                                        self.iouv)
                 metrics.update(tp, det_s[:, 4], det_s[:, 5], gt_cls)
+                if getattr(args, "save_json", False):
+                    self.pred_to_json(det_s, m.get("path", f"{n_img}"))
                 cm.process_batch(det_s, gt_s, gt_cls)
                 per_image_preds.append(det_s)
                 per_image_gts.append((gt_s, gt_cls))
@@ -134,7 +215,8 @@ class DetectionValidator(BaseValidator):
         self.confusion_matrix = cm
         if getattr(args, "plots", False) and getattr(args, "save_dir", None):
             try:
-                cm.plot(save_dir=str(args.save_dir))
+                cm.plot(save_dir=str(args.save_dir),
+                        names=getattr(model_holder, "names", None))
             except Exception as e:
                 LOGGER.warning(f"confusion-matrix plot failed: {e}")
         self.metrics = metrics
@@ -144,6 +226,7 @@ class DetectionValidator(BaseValidator):
         classes = list(range(model_holder.nc))
         self.counting_stats, self.count_r2 = counting_agreement(
             per_image_preds, per_image_gts, classes)
+        results = self.eval_json(results)
         dt = time.time() - t0
         results["speed_ms_per_image"] = dt / max(n_img, 1) * 1000
         LOGGER.info(

@@ -20,10 +20,29 @@ mask has one channel per tap, already sigmoid-activated by the caller.
 """
 from __future__ import annotations
 
+import logging
 import os
 
 import jax
 import jax.numpy as jnp
+
+_LOGGED_PATHS: set = set()
+
+
+def _log_fast_path_once(method: str, train: bool) -> None:
+    """Announce the clamped-window fast path the first time it is chosen.
+
+    The windowed kernels are exact only for offsets within +/-2 px (larger
+    offsets clamp to the window edge); `MGDT_DEFORM_EXACT=1` restores the
+    unbounded-offset reference semantics everywhere. See PARITY.md.
+    """
+    key = (method, train)
+    if key not in _LOGGED_PATHS:
+        _LOGGED_PATHS.add(key)
+        logging.getLogger("mgdt_yolo_tpu").info(
+            "deform-conv %s path selected (%s): exact within the +/-2 px "
+            "offset window, clamped outside; MGDT_DEFORM_EXACT=1 to force "
+            "the unbounded path", method, "train" if train else "eval")
 
 
 def modulated_deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
@@ -41,10 +60,11 @@ def modulated_deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarr
         weight: (kh, kw, Cin, Cout) HWIO kernel.
         bias: (Cout,) or None.
         method: 'exact' (unbounded-offset gather), 'patch' (gather-free
-            static-window kernel, see modulated_deform_conv2d_patch), or
-            'auto': patch for the eval path of the standard 3x3/s1/d1
-            config, exact otherwise (training keeps unbounded semantics
-            and the tested gradient path).
+            static-window kernel, see modulated_deform_conv2d_patch),
+            'pallas' / 'pallas_vjp' (VMEM kernels, eval / differentiable),
+            or 'auto': on TPU the Pallas kernels for both eval and
+            training of the standard 3x3/s1/d1 config, exact otherwise
+            (MGDT_DEFORM_EXACT=1 forces unbounded semantics).
         train: eval-vs-train hint consumed by method='auto'.
     Returns:
         (B, Ho, Wo, Cout).
@@ -52,23 +72,34 @@ def modulated_deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarr
     if method == "auto":
         std = (stride == 1 and padding == 1 and dilation == 1
                and weight.shape[0] == weight.shape[1] == 3)
-        fast = std and (not train
-                        or os.environ.get("MGDT_DEFORM_FAST_TRAIN"))
-        if fast and not os.environ.get("MGDT_DEFORM_EXACT"):
-            # TPU serving: the Pallas VMEM kernel (3.6x the XLA patch path);
-            # training (needs jax.grad — pallas_call has no VJP), other
-            # backends, or odd shapes: the differentiable XLA patch path
+        if std and not os.environ.get("MGDT_DEFORM_EXACT"):
             from .pallas_deform import RB
-            method = ("pallas" if not train
-                      and jax.default_backend() == "tpu"
-                      and x.shape[1] % RB == 0
-                      and not os.environ.get("MGDT_DEFORM_NO_PALLAS")
-                      else "patch")
+            pallas_ok = (jax.default_backend() == "tpu"
+                         and x.shape[1] % RB == 0
+                         and not os.environ.get("MGDT_DEFORM_NO_PALLAS"))
+            if not train:
+                # serving: Pallas VMEM kernel (3.6x the XLA patch path);
+                # other backends / odd shapes: the XLA patch path
+                method = "pallas" if pallas_ok else "patch"
+            elif pallas_ok:
+                # training rides VMEM too: custom_vjp pairs the forward
+                # kernel with a second window-slot backward kernel
+                method = "pallas_vjp"
+            elif os.environ.get("MGDT_DEFORM_FAST_TRAIN"):
+                method = "patch"
+            else:
+                method = "exact"
         else:
             method = "exact"
+        if method != "exact":
+            _log_fast_path_once(method, train)
     if method == "pallas":
         from .pallas_deform import modulated_deform_conv2d_pallas
         return modulated_deform_conv2d_pallas(x, offset, mask, weight, bias)
+    if method == "pallas_vjp":
+        from .pallas_deform import modulated_deform_conv2d_pallas_vjp
+        return modulated_deform_conv2d_pallas_vjp(x, offset, mask, weight,
+                                                  bias)
     if method == "patch":
         return modulated_deform_conv2d_patch(x, offset, mask, weight, bias)
     B, H, W, Cin = x.shape
@@ -150,14 +181,18 @@ def modulated_deform_conv2d_patch(x: jnp.ndarray, offset: jnp.ndarray,
     f32 = jnp.float32
 
     if B > chunk:  # bound the im2col intermediate (~P*M*M*C per image)
-        assert B % chunk == 0, "batch must be a multiple of the chunk size"
-        return jax.lax.map(
+        Bp = -(-B // chunk) * chunk  # short final val batches: pad + slice
+        if Bp != B:
+            pad = ((0, Bp - B), (0, 0), (0, 0), (0, 0))
+            x, offset, mask = (jnp.pad(a, pad) for a in (x, offset, mask))
+        out = jax.lax.map(
             lambda t: modulated_deform_conv2d_patch(*t, weight, bias, M=M,
                                                     chunk=chunk),
-            (x.reshape(B // chunk, chunk, H, W, Cin),
-             offset.reshape(B // chunk, chunk, H, W, offset.shape[-1]),
-             mask.reshape(B // chunk, chunk, H, W, K)),
-        ).reshape(B, H, W, Cout)
+            (x.reshape(Bp // chunk, chunk, H, W, Cin),
+             offset.reshape(Bp // chunk, chunk, H, W, offset.shape[-1]),
+             mask.reshape(Bp // chunk, chunk, H, W, K)),
+        ).reshape(Bp, H, W, Cout)
+        return out[:B]
 
     # static im2col: patch[b, (i,j), c, (qy,qx)] = xpad[b, i+qy, j+qx, c];
     # window origin (i-3, j-3) == padded coord (i, j) with 3 rows of pre-pad.

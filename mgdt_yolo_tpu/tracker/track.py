@@ -1,28 +1,63 @@
 """Tracker wiring into the predictor callback bus
-(reference tracker/track.py:15-65): one tracker per stream slot on
-on_predict_start, detection->track reindexing on on_predict_postprocess_end.
+(reference tracker/track.py:15-65): the tracker YAML from
+`predictor.args.tracker` is loaded into the tracker args, one tracker is
+created per batch slot (multi-stream Kalman/ID isolation), and detections
+are reindexed to tracks on on_predict_postprocess_end.
 """
 from __future__ import annotations
 
 from functools import partial
+from pathlib import Path
 
 import numpy as np
 
-from ..utils import LOGGER
+from ..utils import IterableSimpleNamespace, yaml_load
 from .bot_sort import BOTSORT
 from .byte_tracker import BYTETracker
 
 TRACKER_MAP = {"bytetrack": BYTETracker, "botsort": BOTSORT}
 
 
-def on_predict_start(predictor, persist: bool = False,
-                     tracker_type: str = "bytetrack"):
+def check_tracker_yaml(tracker) -> Path:
+    """Resolve a tracker spec to a config YAML path.
+
+    Accepts a path to a custom YAML, a bundled name ('botsort.yaml'), or a
+    bare tracker type ('bytetrack') — mirroring reference
+    tracker/track.py:28 (`check_yaml(predictor.args.tracker)`).
+    """
+    name = str(tracker or "botsort.yaml")
+    if not name.endswith((".yaml", ".yml")):
+        name += ".yaml"
+    p = Path(name)
+    if not p.is_file():
+        bundled = Path(__file__).parent / "cfg" / p.name
+        if bundled.is_file():
+            p = bundled
+        else:
+            raise FileNotFoundError(
+                f"tracker config {name!r} not found (looked at {p} and the "
+                f"bundled {bundled.parent})")
+    return p
+
+
+def load_tracker_cfg(tracker) -> IterableSimpleNamespace:
+    cfg = IterableSimpleNamespace(**yaml_load(check_tracker_yaml(tracker)))
+    if cfg.tracker_type not in TRACKER_MAP:
+        raise ValueError(f"unknown tracker_type {cfg.tracker_type!r}; "
+                         f"choose from {list(TRACKER_MAP)}")
+    return cfg
+
+
+def on_predict_start(predictor, persist: bool = False):
+    """One tracker per batch slot, configured from predictor.args.tracker
+    (reference tracker/track.py:15-36)."""
     if hasattr(predictor, "trackers") and persist:
         return
-    if tracker_type not in TRACKER_MAP:
-        raise ValueError(f"unknown tracker {tracker_type!r}; "
-                         f"choose from {list(TRACKER_MAP)}")
-    predictor.trackers = [TRACKER_MAP[tracker_type]()]
+    cfg = load_tracker_cfg(getattr(predictor.args, "tracker", None))
+    n_slots = int(getattr(predictor, "dataset_bs", 1) or 1)
+    predictor.trackers = [TRACKER_MAP[cfg.tracker_type](args=cfg,
+                                                        frame_rate=30)
+                          for _ in range(n_slots)]
 
 
 def on_predict_postprocess_end(predictor):
@@ -46,13 +81,8 @@ def on_predict_postprocess_end(predictor):
         result.update(boxes=boxes)
 
 
-def register_tracker(predictor, persist: bool = False,
-                     tracker_type: str = "bytetrack"):
+def register_tracker(predictor, persist: bool = False):
     predictor.add_callback("on_predict_start",
-                           partial(on_predict_start, persist=persist,
-                                   tracker_type=tracker_type))
+                           partial(on_predict_start, persist=persist))
     predictor.add_callback("on_predict_postprocess_end",
                            on_predict_postprocess_end)
-    # predictor callbacks fire with predictor as the arg; ensure start hook
-    # runs even if __call__ was entered before registration
-    on_predict_start(predictor, persist=persist, tracker_type=tracker_type)

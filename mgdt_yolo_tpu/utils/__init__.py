@@ -121,6 +121,55 @@ DEFAULT_CFG = IterableSimpleNamespace(**DEFAULT_CFG_DICT)
 
 RANK = int(os.getenv("RANK", -1))
 
+USER_CONFIG_DIR = Path(os.getenv("MGDT_CONFIG_DIR",
+                                 Path.home() / ".config" / "mgdt_yolo_tpu"))
+SETTINGS_YAML = USER_CONFIG_DIR / "settings.yaml"
+
+
+def get_settings(file=None, version: str = "0.0.3") -> dict:
+    """Persistent machine settings, created on first use (reference
+    yolo/utils/__init__.py:686-735: datasets/weights/runs dirs + uuid;
+    invalid or stale files reset to defaults).
+    """
+    import hashlib
+    import uuid as uuid_mod
+    file = Path(file) if file else SETTINGS_YAML
+    root = Path.cwd()
+    defaults = {
+        "datasets_dir": str(root / "datasets"),
+        "weights_dir": str(root / "weights"),
+        "runs_dir": str(root / "runs"),
+        "uuid": hashlib.sha256(str(uuid_mod.getnode()).encode()).hexdigest(),
+        "sync": False,  # no telemetry in the zero-egress TPU build
+        "api_key": "",
+        "settings_version": version}
+    if not file.exists():
+        yaml_save(file, defaults)
+        return defaults
+    settings = yaml_load(file)
+    correct = (settings and settings.keys() == defaults.keys()
+               and all(type(a) is type(b) for a, b in
+                       zip(settings.values(), defaults.values())))
+    if not correct:
+        LOGGER.warning(f"settings reset to defaults — view/update with "
+                       f"'yolo settings' or at '{file}'")
+        settings = defaults
+        yaml_save(file, settings)
+    return settings
+
+
+def set_settings(kwargs: dict, file=None):
+    """Update and persist machine settings (reference set_settings)."""
+    file = Path(file) if file else SETTINGS_YAML
+    settings = get_settings(file)
+    unknown = set(kwargs) - set(settings)
+    if unknown:
+        raise KeyError(f"unknown settings keys {sorted(unknown)}; "
+                       f"valid keys: {sorted(settings)}")
+    settings.update(kwargs)
+    yaml_save(file, settings)
+    return settings
+
 
 def increment_path(path, exist_ok: bool = False, sep: str = "", mkdir: bool = False) -> Path:
     """Increment a path, e.g. runs/exp -> runs/exp2, runs/exp3, ..."""

@@ -86,3 +86,28 @@ def check_bf16(model_holder=None) -> bool:
     if not ok:
         LOGGER.warning(f"bf16 check failed (rel err {rel:.3f}); training in fp32")
     return ok
+
+
+def check_yolo(verbose: bool = True) -> str:
+    """Environment summary for the `yolo checks` CLI command (reference
+    checks.check_yolo: device/python/package report, TPU-shaped)."""
+    import platform
+    import sys
+
+    import jax
+
+    from .. import __version__
+    try:
+        devices = ", ".join(f"{d.platform}:{d.id}" for d in jax.devices())
+    except Exception as e:  # no backend reachable
+        devices = f"unavailable ({e})"
+    lines = [
+        f"mgdt_yolo_tpu {__version__}",
+        f"python {sys.version.split()[0]} on {platform.platform()}",
+        f"jax {jax.__version__} devices: {devices}",
+        f"default backend: {jax.default_backend()}",
+    ]
+    msg = "\n".join(lines)
+    if verbose:
+        LOGGER.info(msg)
+    return msg

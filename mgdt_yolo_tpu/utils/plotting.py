@@ -148,7 +148,8 @@ def save_one_box(xyxy, im: np.ndarray, file="im.jpg", gain: float = 1.02,
         from ..utils import increment_path
         f = Path(increment_path(Path(file))).with_suffix(".jpg")
         f.parent.mkdir(parents=True, exist_ok=True)
-        cv2.imwrite(str(f), crop[..., ::-1])  # write BGR on disk
+        # imwrite wants BGR: the crop is already BGR when BGR=True
+        cv2.imwrite(str(f), crop if BGR else crop[..., ::-1])
     return crop
 
 

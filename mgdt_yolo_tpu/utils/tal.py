@@ -133,6 +133,72 @@ def task_aligned_assign(pd_scores: jnp.ndarray, pd_bboxes: jnp.ndarray,
                         target_gt_idx)
 
 
+@partial(jax.jit, static_argnames=("num_classes", "topk", "alpha", "beta",
+                                   "dynamic_threshold"))
+def heuristic_assign_v2(pd_scores, pd_bboxes, anc_points, gt_labels,
+                        gt_bboxes, mask_gt, num_classes: int, topk: int = 13,
+                        alpha: float = 1.0, beta: float = 6.0,
+                        dynamic_threshold: float = 0.4,
+                        eps: float = 1e-9) -> AssignResult:
+    """HeuristicPositiveSampleAssigner_v2 (reference tal.py:355-474) —
+    dormant in the reference (commented out at loss.py:128), ported for
+    component completeness.
+
+    Differences from the active v1/TAL path, preserved deliberately:
+    - static alpha=1.0 / beta=6.0 / topk=13 (no anneal);
+    - top-k counting does NOT zero duplicate-counted anchors and ignores
+      its own `topk_metrics > eps` mask (reference :443-452 computes
+      `topk_mask` but never applies it);
+    - multi-GT dedup uses `overlaps` (upstream semantics), not the v1
+      fork's align_metric;
+    - target_scores are one-hot then rescaled by a *dynamic-threshold*
+      normalization `amax_G(align / (dt * amax_A(align) + eps))` — values
+      can exceed 1 by construction (1/dt at the best anchor).
+    """
+    b, A, nc = pd_scores.shape
+    G = gt_bboxes.shape[1]
+    mask_gt_f = mask_gt.astype(pd_scores.dtype)
+
+    mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)
+    valid = mask_in_gts * mask_gt_f[..., None]
+    bbox_scores = jnp.take_along_axis(
+        jnp.swapaxes(pd_scores, 1, 2),
+        gt_labels[..., None].astype(jnp.int32), axis=1) * valid
+    overlaps = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :],
+                        xywh=False, CIoU=True).squeeze(-1)
+    overlaps = jnp.clip(overlaps, 0, None) * valid
+    align_metric = bbox_scores ** alpha * overlaps ** beta
+
+    # reference :443-452: scatter-count top-k indices with no validity mask
+    # and no duplicate zeroing — bit-for-bit including those quirks
+    _, idxs = jax.lax.top_k(align_metric, topk)
+    mask_topk = jax.nn.one_hot(idxs, A, dtype=jnp.int32).sum(axis=-2)
+    mask_pos = mask_topk.astype(align_metric.dtype) * mask_in_gts \
+        * mask_gt_f[..., None]
+
+    target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(
+        mask_pos, overlaps, G)
+
+    target_labels = jnp.take_along_axis(gt_labels.astype(jnp.int32),
+                                        target_gt_idx, axis=1)
+    target_bboxes = jnp.take_along_axis(
+        gt_bboxes, target_gt_idx[..., None].astype(jnp.int32), axis=1)
+    fg = fg_mask > 0
+    target_scores = jax.nn.one_hot(target_labels, num_classes,
+                                   dtype=pd_scores.dtype)
+    target_scores = jnp.where(fg[..., None], target_scores, 0.0)
+
+    # dynamic-threshold refinement (reference :405-409)
+    align_metric = align_metric * mask_pos
+    dynamic_metric = dynamic_threshold * align_metric.max(axis=-1,
+                                                          keepdims=True)
+    norm = (align_metric / (dynamic_metric + eps)).max(axis=-2)  # (b, A)
+    target_scores = target_scores * norm[..., None]
+
+    return AssignResult(target_labels, target_bboxes, target_scores, fg,
+                        target_gt_idx)
+
+
 def heuristic_assign_v1(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes,
                         mask_gt, step, num_classes: int, epoch_num: int = 161,
                         max_epochs: int = 100, topk: int = 10,

@@ -83,3 +83,69 @@ class TestBotSort:
             res = tr.update(_moving_boxes(t), np.array([0.9, 0.8]),
                             np.array([0.0, 1.0]), img)
         assert len(res) == 2
+
+
+class TestTrackerConfig:
+    """The tracker YAML path (reference tracker/track.py:15-36): cfg files
+    are actually loaded, overrides take effect, one tracker per slot."""
+
+    def test_bundled_yaml_loads(self):
+        from mgdt_yolo_tpu.tracker.track import load_tracker_cfg
+        cfg = load_tracker_cfg("bytetrack")
+        assert cfg.tracker_type == "bytetrack"
+        assert cfg.track_high_thresh == 0.5
+        cfg = load_tracker_cfg("botsort.yaml")
+        assert cfg.tracker_type == "botsort"
+        assert cfg.gmc_method == "sparseOptFlow"
+
+    def test_custom_yaml_overrides_take_effect(self, tmp_path):
+        from types import SimpleNamespace
+
+        from mgdt_yolo_tpu.tracker.track import on_predict_start
+        custom = tmp_path / "mytracker.yaml"
+        custom.write_text(
+            "tracker_type: bytetrack\ntrack_high_thresh: 0.9\n"
+            "track_low_thresh: 0.2\nnew_track_thresh: 0.7\n"
+            "track_buffer: 15\nmatch_thresh: 0.6\n")
+        pred = SimpleNamespace(args=SimpleNamespace(tracker=str(custom)),
+                               dataset_bs=1)
+        on_predict_start(pred)
+        tr = pred.trackers[0]
+        assert isinstance(tr, BYTETracker)
+        assert tr.args.track_high_thresh == 0.9
+        assert tr.args.new_track_thresh == 0.7
+        assert tr.max_time_lost == 15
+
+    def test_unknown_tracker_rejected(self, tmp_path):
+        import pytest
+
+        from mgdt_yolo_tpu.tracker.track import load_tracker_cfg
+        bad = tmp_path / "bad.yaml"
+        bad.write_text("tracker_type: deepsort\n")
+        with pytest.raises(ValueError):
+            load_tracker_cfg(str(bad))
+        with pytest.raises(FileNotFoundError):
+            load_tracker_cfg("no_such_tracker.yaml")
+
+    def test_one_tracker_per_slot_with_isolation(self):
+        """Two stream slots: each gets its own tracker; feeding them
+        disjoint scenes must not cross-contaminate Kalman states/IDs."""
+        from types import SimpleNamespace
+
+        from mgdt_yolo_tpu.tracker.track import on_predict_start
+        pred = SimpleNamespace(args=SimpleNamespace(tracker="bytetrack.yaml"),
+                               dataset_bs=2)
+        on_predict_start(pred)
+        assert len(pred.trackers) == 2
+        assert pred.trackers[0] is not pred.trackers[1]
+        t0, t1 = pred.trackers
+        for t in range(6):
+            r0 = t0.update(_moving_boxes(t, 1), np.array([0.9]),
+                           np.array([0.0]))
+            box1 = np.asarray([[300.0, 300 + 2 * t, 340, 340 + 2 * t]],
+                              np.float32)
+            r1 = t1.update(box1, np.array([0.9]), np.array([0.0]))
+        assert len(t0.tracked_stracks) == 1 and len(t1.tracked_stracks) == 1
+        # slot 0's track follows slot 0's motion only
+        assert abs(t0.tracked_stracks[0].tlwh[1] - 30) < 10
+        assert t1.tracked_stracks[0].tlwh[1] > 250

@@ -1,0 +1,77 @@
+"""COCO-json emission parity (reference yolo/v8/detect/val.py:240-278):
+pred_to_json's corner-shift/rounding algebra, numeric-stem image ids,
+class_map indirection, and the gated eval_json artifact."""
+import json
+
+import numpy as np
+
+from mgdt_yolo_tpu.cfg import get_cfg
+from mgdt_yolo_tpu.engine.validator import (DetectionValidator,
+                                            coco80_to_coco91_class)
+
+
+def _validator(**over):
+    return DetectionValidator(get_cfg(overrides={"mode": "val", **over}))
+
+
+def _reference_rows(predn, class_map, image_id):
+    """The reference transformation, spelled out (val.py:240-252):
+    xyxy -> xywh center -> top-left corner, rounded 3/5 decimals."""
+    rows = []
+    for p in predn:
+        x1, y1, x2, y2 = p[:4]
+        w, h = x2 - x1, y2 - y1
+        cx, cy = x1 + w / 2, y1 + h / 2
+        rows.append({
+            "image_id": image_id,
+            "category_id": class_map[int(p[5])],
+            "bbox": [round(v, 3) for v in (cx - w / 2, cy - h / 2, w, h)],
+            "score": round(float(p[4]), 5)})
+    return rows
+
+
+def test_pred_to_json_matches_reference_algebra():
+    v = _validator()
+    predn = np.array([[10.25, 20.5, 110.75, 220.125, 0.876543, 1.0],
+                      [0.0, 0.0, 32.0, 32.0, 0.012345678, 0.0]], np.float64)
+    v.pred_to_json(predn, "000000012345.jpg")
+    assert v.jdict == _reference_rows(predn, v.class_map, 12345)
+
+
+def test_pred_to_json_nonnumeric_stem_stays_string():
+    v = _validator()
+    predn = np.array([[1.0, 2.0, 3.0, 4.0, 0.5, 0.0]])
+    v.pred_to_json(predn, "frame_007.png")
+    assert v.jdict[0]["image_id"] == "frame_007"
+
+
+def test_coco_class_map_when_coco_sniffed():
+    v = _validator()
+    cm = coco80_to_coco91_class()
+    assert len(cm) == 80 and cm[0] == 1 and cm[-1] == 90
+    # identity map outside COCO protocol
+    predn = np.array([[1.0, 2.0, 3.0, 4.0, 0.5, 7.0]])
+    v.pred_to_json(predn, "x.jpg")
+    assert v.jdict[0]["category_id"] == 7
+
+
+def test_eval_json_writes_predictions_file(tmp_path):
+    v = _validator(save_json=True)
+    v.args.save_dir = str(tmp_path)
+    predn = np.array([[5.0, 6.0, 50.0, 60.0, 0.9, 0.0]])
+    v.pred_to_json(predn, "42.jpg")
+    results = v.eval_json({"map": 0.0, "map50": 0.0})
+    pj = tmp_path / "predictions.json"
+    assert pj.is_file()
+    rows = json.load(open(pj))
+    assert rows[0]["image_id"] == 42 and rows[0]["bbox"] == [5.0, 6.0, 45.0,
+                                                             54.0]
+    assert results["map"] == 0.0  # no COCO annotations: metrics untouched
+
+
+def test_eval_json_noop_without_flag(tmp_path):
+    v = _validator()
+    v.args.save_dir = str(tmp_path)
+    v.pred_to_json(np.array([[1.0, 2.0, 3.0, 4.0, 0.5, 0.0]]), "1.jpg")
+    v.eval_json({})
+    assert not (tmp_path / "predictions.json").exists()
