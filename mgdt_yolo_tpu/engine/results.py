@@ -10,10 +10,32 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from ..utils import SimpleClass
+from ..utils import LOGGER, SimpleClass
 
 
-class Boxes(SimpleClass):
+class _TensorOps:
+    """Reference BaseTensor device-handling surface (results.py:20-63):
+    numpy-native here, so cpu/numpy/cuda/to are identity passthroughs kept
+    for API compatibility."""
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self
+
+    def cuda(self):
+        return self
+
+    def to(self, *args, **kwargs):
+        return self
+
+
+class Boxes(SimpleClass, _TensorOps):
     """(n, 6|7) detection rows [x1, y1, x2, y2, (track_id), conf, cls]."""
 
     def __init__(self, boxes: np.ndarray, orig_shape):
@@ -62,8 +84,14 @@ class Boxes(SimpleClass):
         h, w = self.orig_shape[:2]
         return self.xywh / np.array([w, h, w, h])
 
+    @property
+    def boxes(self):
+        """Deprecated alias for .data (reference results.py:440-444)."""
+        LOGGER.warning("'Boxes.boxes' is deprecated, use 'Boxes.data'")
+        return self.data
 
-class Masks(SimpleClass):
+
+class Masks(SimpleClass, _TensorOps):
     """(n, H, W) instance masks (reference results.py:447-500)."""
 
     def __init__(self, masks: np.ndarray, orig_shape):
@@ -85,8 +113,26 @@ class Masks(SimpleClass):
                        if cnts else np.zeros((0, 2), np.float32))
         return out
 
+    @property
+    def xyn(self):
+        """Normalized mask contours (reference results.py:484-490)."""
+        h, w = np.asarray(self.orig_shape)[:2]
+        return [c / np.array([w, h], np.float32) for c in self.xy]
 
-class Keypoints(SimpleClass):
+    @property
+    def segments(self):
+        """Deprecated alias for .xyn (reference results.py:476-482)."""
+        LOGGER.warning("'Masks.segments' is deprecated, use 'Masks.xyn'")
+        return self.xyn
+
+    @property
+    def masks(self):
+        """Deprecated alias for .data (reference results.py:500-504)."""
+        LOGGER.warning("'Masks.masks' is deprecated, use 'Masks.data'")
+        return self.data
+
+
+class Keypoints(SimpleClass, _TensorOps):
     """(n, nk, 2|3) keypoints (reference results.py:501-540)."""
 
     def __init__(self, kpts: np.ndarray, orig_shape):
@@ -104,12 +150,21 @@ class Keypoints(SimpleClass):
     def conf(self):
         return self.data[..., 2] if self.data.shape[-1] == 3 else None
 
+    @property
+    def xyn(self):
+        """Normalized keypoint coords (reference results.py:545-551)."""
+        h, w = np.asarray(self.orig_shape)[:2]
+        return self.xy / np.array([w, h], np.float32)
 
-class Probs(SimpleClass):
+
+class Probs(SimpleClass, _TensorOps):
     """Classification probabilities (reference results.py:541-605)."""
 
     def __init__(self, probs: np.ndarray):
         self.data = np.asarray(probs)
+
+    def __len__(self):
+        return len(self.data)
 
     @property
     def top1(self):
@@ -122,6 +177,10 @@ class Probs(SimpleClass):
     @property
     def top1conf(self):
         return float(self.data.max())
+
+    @property
+    def top5conf(self):
+        return self.data[self.top5].tolist()
 
 
 class Results(SimpleClass):
@@ -153,10 +212,71 @@ class Results(SimpleClass):
                        self.boxes.data[idx] if len(self.boxes) else None,
                        speed=self.speed)
 
-    def update(self, boxes: Optional[np.ndarray] = None):
+    def update(self, boxes: Optional[np.ndarray] = None,
+               masks: Optional[np.ndarray] = None,
+               probs: Optional[np.ndarray] = None):
+        """Refresh result tensors in place (reference results.py:114-121)."""
         if boxes is not None:
             self.boxes = Boxes(boxes, self.orig_shape)
+        if masks is not None:
+            self.masks = Masks(masks, self.orig_shape)
+        if probs is not None:
+            self.probs = Probs(probs)
         return self
+
+    def new(self):
+        """Empty Results over the same image (reference results.py:156-158)."""
+        return Results(self.orig_img, self.path, self.names)
+
+    @property
+    def keys(self):
+        """Names of the non-empty result attributes (reference :160-163)."""
+        return [k for k in ("boxes", "masks", "probs", "keypoints")
+                if getattr(self, k) is not None and len(getattr(self, k))]
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self
+
+    def cuda(self):
+        return self
+
+    def to(self, *args, **kwargs):
+        return self
+
+    def verbose(self) -> str:
+        """Per-class summary string (reference results.py:248-263)."""
+        if self.probs is not None:
+            return ", ".join(f"{self.names.get(j, j)} "
+                             f"{float(self.probs.data[j]):.2f}"
+                             for j in self.probs.top5) + ", "
+        if len(self) == 0:
+            return "(no detections), "
+        out = ""
+        cls = self.boxes.cls.astype(int)
+        for c in sorted(set(cls.tolist())):
+            n = int((cls == c).sum())
+            out += f"{n} {self.names.get(c, c)}{'s' * (n > 1)}, "
+        return out
+
+    def save_crop(self, save_dir, file_name="im.jpg"):
+        """Save per-class crops (reference results.py:299-318)."""
+        if self.probs is not None:
+            LOGGER.warning("Classify task does not support save_crop")
+            return
+        from ..utils.plotting import save_one_box
+        save_dir = Path(save_dir)
+        stem = Path(file_name).stem
+        for row in self.boxes.data:
+            cname = str(self.names.get(int(row[-1]), int(row[-1])))
+            save_one_box(row[:4], self.orig_img.copy(),
+                         file=save_dir / cname / f"{stem}.jpg", BGR=True)
+
+    def pandas(self):
+        """Reference results.py:320-322: declared but not implemented."""
+        LOGGER.warning("'Results.pandas' method is not yet implemented")
 
     def counts(self) -> Dict[int, int]:
         """Per-class detection counts — the fork's counting-eval primitive
@@ -194,13 +314,34 @@ class Results(SimpleClass):
         Path(txt_file).parent.mkdir(parents=True, exist_ok=True)
         Path(txt_file).write_text("\n".join(lines) + ("\n" if lines else ""))
 
-    def tojson(self):
+    def tojson(self, normalize: bool = False):
+        """COCO-ish per-detection JSON incl. track id / segments / keypoints
+        (reference results.py:324-352; the reference's col-4/5 indexing bug
+        for tracked 7-col rows is fixed by indexing from the end)."""
         import json
+        if self.probs is not None:
+            LOGGER.warning("Classify task does not support tojson yet")
+            return None
+        h, w = (self.orig_shape if normalize else (1, 1))
         out = []
-        for row in self.boxes.data:
+        for i, row in enumerate(self.boxes.data):
             c = int(row[-1])
-            out.append({"name": str(self.names.get(c, c)), "class": c,
-                        "confidence": float(row[-2]),
-                        "box": {k: float(v) for k, v in
-                                zip(("x1", "y1", "x2", "y2"), row[:4])}})
+            rec = {"name": str(self.names.get(c, c)), "class": c,
+                   "confidence": float(row[-2]),
+                   "box": {"x1": float(row[0]) / w, "y1": float(row[1]) / h,
+                           "x2": float(row[2]) / w, "y2": float(row[3]) / h}}
+            if self.boxes.is_track:
+                rec["track_id"] = int(row[-3])
+            if self.masks is not None and len(self.masks):
+                xy = self.masks.xy[i]
+                rec["segments"] = {"x": (xy[:, 0] / w).tolist(),
+                                   "y": (xy[:, 1] / h).tolist()}
+            if self.keypoints is not None and len(self.keypoints):
+                kp = self.keypoints.data[i]
+                rec["keypoints"] = {
+                    "x": (kp[:, 0] / w).tolist(),
+                    "y": (kp[:, 1] / h).tolist(),
+                    "visible": (kp[:, 2].tolist() if kp.shape[-1] == 3
+                                else [1.0] * len(kp))}
+            out.append(rec)
         return json.dumps(out, indent=2)

@@ -152,10 +152,12 @@ class DetectionValidator(BaseValidator):
             # val protocol: conf 0.001 + multi_label floods candidates —
             # use a deeper pre-NMS pool than the predict path (the reference
             # caps at 30k, ops.py:213); 4096 is past the dense-head tail
+            # block=1024: two-stage blocked fixpoint — same output as the
+            # monolithic 4096² walk, 16× smaller peak IoU matrix
             return non_max_suppression(decoded, conf_thres=conf, iou_thres=args.iou,
                                        max_det=args.max_det, multi_label=True,
                                        agnostic=args.agnostic_nms,
-                                       pre_topk=4096,
+                                       pre_topk=4096, block=1024,
                                        nc=model_holder.nc)
 
         metrics = DetMetrics()

@@ -86,12 +86,79 @@ def nms_single(boxes: jnp.ndarray, scores: jnp.ndarray, conf_thres: float = 0.25
     return out, n
 
 
+def _blocked_keep(ob: jnp.ndarray, conf: jnp.ndarray, valid: jnp.ndarray,
+                  iou_thres: float, block: int, max_det: int) -> jnp.ndarray:
+    """Greedy-NMS keep mask computed block-by-block in score order.
+
+    Instead of one K×K IoU matrix (K=4096 at the val protocol → ~67 MB
+    fp32/image), walk score-sorted blocks of `block` candidates: each block
+    is first suppressed against a buffer of the top-S keepers so far, then
+    resolved by the within-block fixpoint, and its keepers append to the
+    buffer. Peak memory drops K²→block·(block+S) and IoU work ~2.7× at
+    K=4096/block=1024.
+
+    Output-exactness: the buffer holds the S highest-scoring keepers
+    (S = max(512, max_det)). Dropping a keeper beyond S can only mis-keep a
+    candidate ranked below those S keepers — and the final output takes the
+    top max_det ≤ S keepers by score, so no dropped suppressor can change
+    the emitted rows (mis-kept candidates, and anything they in turn
+    suppress, rank strictly below the S keepers filling the output).
+    """
+    k = conf.shape[0]
+    S = max(512, max_det)
+    areas = (ob[:, 2] - ob[:, 0]) * (ob[:, 3] - ob[:, 1])
+    buf_boxes = jnp.zeros((S, 4), ob.dtype)
+    buf_areas = jnp.zeros((S,), ob.dtype)
+    buf_valid = jnp.zeros((S,), bool)
+    buf_count = jnp.int32(0)
+    keeps = []
+    for s in range(0, k, block):
+        e = min(s + block, k)
+        nb = e - s
+        ob_i = ob[s:e]
+        ar_i = areas[s:e]
+        # suppression by earlier-block keepers
+        lt = jnp.maximum(ob_i[:, None, :2], buf_boxes[None, :, :2])
+        rb = jnp.minimum(ob_i[:, None, 2:], buf_boxes[None, :, 2:])
+        wh = jnp.clip(rb - lt, 0)
+        inter = wh[..., 0] * wh[..., 1]
+        iou_b = inter / (ar_i[:, None] + buf_areas[None, :] - inter + 1e-7)
+        supp = ((iou_b > iou_thres) & buf_valid[None, :]).any(axis=1)
+        # within-block fixpoint
+        lt = jnp.maximum(ob_i[:, None, :2], ob_i[None, :, :2])
+        rb = jnp.minimum(ob_i[:, None, 2:], ob_i[None, :, 2:])
+        wh = jnp.clip(rb - lt, 0)
+        inter = wh[..., 0] * wh[..., 1]
+        iou_i = inter / (ar_i[:, None] + ar_i[None, :] - inter + 1e-7)
+        overlap = (iou_i > iou_thres) & jnp.tril(jnp.ones((nb, nb), bool), -1)
+        valid_i = valid[s:e] & ~supp
+
+        def body(state):
+            kp, _, it = state
+            new = valid_i & ~(overlap & kp[None, :]).any(axis=1)
+            return new, jnp.any(new != kp), it + 1
+
+        keep_i, _, _ = jax.lax.while_loop(
+            lambda st: st[1] & (st[2] < 128), body,
+            (valid_i, jnp.bool_(True), 0))
+        keeps.append(keep_i)
+        # append this block's keepers to the buffer (positions ≥ S drop)
+        pos = buf_count + jnp.cumsum(keep_i) - 1
+        pos = jnp.where(keep_i, pos, S)
+        buf_boxes = buf_boxes.at[pos].set(ob_i, mode="drop")
+        buf_areas = buf_areas.at[pos].set(ar_i, mode="drop")
+        buf_valid = buf_valid.at[pos].set(True, mode="drop")
+        buf_count = buf_count + keep_i.sum().astype(jnp.int32)
+    return jnp.concatenate(keeps)
+
+
 @partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk",
-                                   "multi_label", "agnostic"))
+                                   "multi_label", "agnostic", "block"))
 def nms_single_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
                         conf_thres: float = 0.25, iou_thres: float = 0.45,
                         max_det: int = 300, pre_topk: int = 1024,
-                        multi_label: bool = False, agnostic: bool = False):
+                        multi_label: bool = False, agnostic: bool = False,
+                        block: int = 0):
     """Greedy-equivalent NMS via suppression-matrix fixpoint iteration.
 
     A box survives iff no higher-scoring *surviving* box overlaps it — the
@@ -101,6 +168,10 @@ def nms_single_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
     in 2-4 sweeps of pure vector/matrix work, which is what the VPU/MXU want.
     Results are bit-identical to the sequential greedy scan (proven: the
     recurrence's unique fixpoint is the greedy solution).
+
+    `block` > 0 switches to the two-stage blocked walk (_blocked_keep) for
+    deep candidate pools — same output, K²→block-sized matrices; used by
+    the val protocol's pre_topk=4096 pool.
     """
     A, nc = scores.shape
     if multi_label and nc > 1:
@@ -120,27 +191,31 @@ def nms_single_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
 
     offset = jnp.zeros_like(cls) if agnostic else cls * MAX_WH
     ob = cand_boxes + offset[:, None]
-    areas = (ob[:, 2] - ob[:, 0]) * (ob[:, 3] - ob[:, 1])
-    lt = jnp.maximum(ob[:, None, :2], ob[None, :, :2])
-    rb = jnp.minimum(ob[:, None, 2:], ob[None, :, 2:])
-    wh = jnp.clip(rb - lt, 0)
-    inter = wh[..., 0] * wh[..., 1]
-    iou = inter / (areas[:, None] + areas[None, :] - inter + 1e-7)
-    # candidates arrive score-sorted from top_k: "higher scoring" = lower index
-    higher = jnp.tril(jnp.ones((k, k), bool), k=-1)  # [i, j] True iff j < i
-    overlap = (iou > iou_thres) & higher    # [i, j]: higher-ranked j overlaps i
+    if block and k > block:
+        keep = _blocked_keep(ob, conf, valid, iou_thres, block, max_det)
+    else:
+        areas = (ob[:, 2] - ob[:, 0]) * (ob[:, 3] - ob[:, 1])
+        lt = jnp.maximum(ob[:, None, :2], ob[None, :, :2])
+        rb = jnp.minimum(ob[:, None, 2:], ob[None, :, 2:])
+        wh = jnp.clip(rb - lt, 0)
+        inter = wh[..., 0] * wh[..., 1]
+        iou = inter / (areas[:, None] + areas[None, :] - inter + 1e-7)
+        # candidates arrive score-sorted from top_k: higher score = lower index
+        higher = jnp.tril(jnp.ones((k, k), bool), k=-1)  # [i, j]: j < i
+        overlap = (iou > iou_thres) & higher
 
-    def cond(state):
-        keep, changed, it = state
-        return changed & (it < 128)  # sweeps needed = suppression-chain depth
+        def cond(state):
+            keep, changed, it = state
+            return changed & (it < 128)  # sweeps = suppression-chain depth
 
-    def body(state):
-        keep, _, it = state
-        suppressed = (overlap & keep[None, :]).any(axis=1)
-        new_keep = valid & ~suppressed
-        return new_keep, jnp.any(new_keep != keep), it + 1
+        def body(state):
+            keep, _, it = state
+            suppressed = (overlap & keep[None, :]).any(axis=1)
+            new_keep = valid & ~suppressed
+            return new_keep, jnp.any(new_keep != keep), it + 1
 
-    keep, _, _ = jax.lax.while_loop(cond, body, (valid, jnp.bool_(True), 0))
+        keep, _, _ = jax.lax.while_loop(cond, body,
+                                        (valid, jnp.bool_(True), 0))
 
     # compact survivors into fixed (max_det, 6)
     order = jnp.where(keep, conf, -1.0)
@@ -162,7 +237,7 @@ def non_max_suppression(prediction: jnp.ndarray, conf_thres: float = 0.25,
                         iou_thres: float = 0.45, agnostic: bool = False,
                         multi_label: bool = False, max_det: int = 300,
                         pre_topk: int = 1024, nc: int | None = None,
-                        return_idx: bool = False):
+                        return_idx: bool = False, block: int = 0):
     """Batched NMS over raw head output.
 
     Args:
@@ -181,7 +256,7 @@ def non_max_suppression(prediction: jnp.ndarray, conf_thres: float = 0.25,
     scores = pred[..., 4:4 + nc]
     fn = partial(nms_single_fixpoint, conf_thres=conf_thres, iou_thres=iou_thres,
                  max_det=max_det, pre_topk=pre_topk, multi_label=multi_label,
-                 agnostic=agnostic)
+                 agnostic=agnostic, block=block)
     det, counts, idx = jax.vmap(fn)(boxes, scores)
     if return_idx:
         return det, counts, idx

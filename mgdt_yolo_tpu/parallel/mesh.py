@@ -7,9 +7,12 @@ mesh over all chips, params/opt-state replicated, batches sharded along the
 batch axis. XLA inserts the gradient all-reduce (the NCCL equivalent rides
 ICI automatically); there is no per-rank process dance to reproduce.
 
-For multi-host slices, call jax.distributed.initialize() before mesh_from_
-devices and feed each host its local shard (make_global_batch handles both
-single- and multi-process layouts via make_array_from_process_local_data).
+For multi-host slices, call jax.distributed.initialize() before creating
+the mesh and feed each host its local shard — shard_batch handles both
+single- and multi-process layouts via make_array_from_process_local_data.
+Exercised for real by tests/test_multihost.py: a 2-OS-process CPU cluster
+(gloo collectives, 4 virtual devices per process) runs the full MGDT train
+step and matches the single-process loss on the same global batch.
 """
 from __future__ import annotations
 

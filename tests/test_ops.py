@@ -274,3 +274,37 @@ class TestDeformConv:
         fast = ops.modulated_deform_conv2d(*args, method="auto", train=True)
         want = ops.modulated_deform_conv2d(*args, method="patch")
         np.testing.assert_allclose(np.asarray(fast), np.asarray(want))
+
+
+class TestBlockedNMS:
+    """Two-stage blocked fixpoint (VERDICT r2 weak #5): identical output to
+    the monolithic K×K walk on dense val-protocol pools."""
+
+    def _dense_scene(self, rng, A=3000, nc=3):
+        # clustered boxes so suppression chains actually span blocks
+        centers = rng.uniform(40, 600, (40, 2))
+        pick = rng.integers(0, 40, A)
+        cxy = centers[pick] + rng.normal(0, 8, (A, 2))
+        wh = rng.uniform(20, 60, (A, 2))
+        boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
+        scores = rng.uniform(0, 0.5, (A, nc)) ** 2  # val-like low-conf flood
+        return jnp.asarray(boxes, jnp.float32), jnp.asarray(scores, jnp.float32)
+
+    @pytest.mark.parametrize("multi_label", [False, True])
+    def test_blocked_matches_monolithic(self, rng, multi_label):
+        boxes, scores = self._dense_scene(rng)
+        kw = dict(conf_thres=0.001, iou_thres=0.7, max_det=300,
+                  pre_topk=2048, multi_label=multi_label)
+        da, na, ia = ops.nms_single_fixpoint(boxes, scores, **kw)
+        db, nb_, ib = ops.nms_single_fixpoint(boxes, scores, block=512, **kw)
+        assert int(na) == int(nb_)
+        np.testing.assert_allclose(np.asarray(db), np.asarray(da), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ib), np.asarray(ia))
+
+    def test_blocked_noop_when_pool_fits(self, rng):
+        boxes, scores = self._dense_scene(rng, A=400)
+        kw = dict(conf_thres=0.001, iou_thres=0.7, max_det=100, pre_topk=512)
+        da, na, _ = ops.nms_single_fixpoint(boxes, scores, **kw)
+        db, nb_, _ = ops.nms_single_fixpoint(boxes, scores, block=1024, **kw)
+        assert int(na) == int(nb_)
+        np.testing.assert_allclose(np.asarray(db), np.asarray(da), atol=1e-5)

@@ -225,3 +225,79 @@ class TestFilesUtils:
         assert (tmp_path / "val_batch0_labels.jpg").is_file()
         assert (tmp_path / "val_batch0_pred.jpg").is_file()
         assert (tmp_path / "confusion_matrix.png").is_file()
+
+
+class TestResultsSurface:
+    """Results container audit (VERDICT r2 missing #5): reference
+    results.py:66-446 accessor surface."""
+
+    def _res(self, track=False, masks=False, kpts=False):
+        import numpy as np
+
+        from mgdt_yolo_tpu.engine.results import Results
+        img = np.zeros((100, 200, 3), np.uint8)
+        rows = np.array([[10, 20, 50, 60, 0.9, 1.0],
+                         [60, 10, 90, 40, 0.8, 0.0]], np.float32)
+        if track:
+            rows = np.insert(rows, 4, [7.0, 9.0], axis=1)
+        m = None
+        if masks:
+            m = np.zeros((2, 100, 200), np.float32)
+            m[0, 20:60, 10:50] = 1
+            m[1, 10:40, 60:90] = 1
+        k = np.array([[[12, 25, 0.9], [40, 50, 0.8]],
+                      [[65, 15, 0.7], [85, 35, 0.6]]], np.float32) if kpts else None
+        return Results(img, "im0.jpg", {0: "a", 1: "b"}, rows, masks=m,
+                       keypoints=k)
+
+    def test_device_noops_and_new(self):
+        r = self._res()
+        assert r.cpu() is r and r.numpy() is r and r.cuda() is r and r.to() is r
+        assert r.boxes.cpu() is r.boxes and r.boxes.numpy() is r.boxes
+        assert r.boxes.shape == (2, 6)
+        empty = r.new()
+        assert len(empty) == 0 and empty.path == r.path and empty.names == r.names
+
+    def test_keys_and_verbose(self):
+        r = self._res(masks=True, kpts=True)
+        assert r.keys == ["boxes", "masks", "keypoints"]
+        v = r.verbose()
+        assert "1 a" in v and "1 b" in v
+        assert self._res().new().verbose() == "(no detections), "
+
+    def test_track_id_roundtrip_and_tojson(self):
+        import json
+        r = self._res(track=True)
+        assert r.boxes.is_track and r.boxes.id.tolist() == [7.0, 9.0]
+        recs = json.loads(r.tojson())
+        assert recs[0]["track_id"] == 7 and recs[0]["name"] == "b"
+        assert recs[0]["confidence"] == pytest.approx(0.9)
+        # normalize divides by (h, w)
+        recs_n = json.loads(r.tojson(normalize=True))
+        assert recs_n[0]["box"]["x2"] == pytest.approx(50 / 200)
+        assert recs_n[0]["box"]["y2"] == pytest.approx(60 / 100)
+
+    def test_tojson_masks_keypoints(self):
+        import json
+        recs = json.loads(self._res(masks=True, kpts=True).tojson())
+        assert "segments" in recs[0] and "keypoints" in recs[0]
+        assert recs[0]["keypoints"]["visible"] == pytest.approx([0.9, 0.8])
+        xs = recs[0]["segments"]["x"]
+        assert min(xs) >= 9 and max(xs) <= 50
+
+    def test_save_crop(self, tmp_path):
+        r = self._res()
+        r.save_crop(tmp_path, "frame.jpg")
+        assert (tmp_path / "b" / "frame.jpg").is_file()
+        assert (tmp_path / "a" / "frame.jpg").is_file()
+
+    def test_normalized_accessors(self):
+        import numpy as np
+        r = self._res(masks=True, kpts=True)
+        np.testing.assert_allclose(r.keypoints.xyn[..., 0],
+                                   r.keypoints.xy[..., 0] / 200)
+        assert len(r.masks.xyn) == 2 and r.masks.xyn[0][:, 0].max() <= 1.0
+        assert r.probs is None
+        from mgdt_yolo_tpu.engine.results import Probs
+        p = Probs(np.array([0.1, 0.5, 0.2, 0.15, 0.05]))
+        assert p.top1 == 1 and p.top5conf[0] == pytest.approx(0.5)
