@@ -79,12 +79,28 @@ class BasePredictor(CallbackMixin):
         self._video_writers = {}
         self.dataset_bs = batch  # stream-slot count (reference dataset.bs)
         self.run_callbacks("on_predict_start")
-        for i in range(0, len(items), batch):
-            chunk = items[i:i + batch]
+
+        def dispatch(chunk):
+            """Preprocess + enqueue one batch; jax dispatch is async, so the
+            device computes batch i while the host preprocesses and uploads
+            batch i+1 (the dispatch-overlap that hides h2d behind compute —
+            the reference's CUDA streams get this implicitly)."""
             t0 = time.time()
             x, meta = self.preprocess([c["img"] for c in chunk])
             t1 = time.time()
-            dets, counts = jax.device_get(self._infer(self.variables, x))
+            fut = self._infer(self.variables, x)  # async under jit
+            return chunk, meta, fut, t0, t1
+
+        pending = None
+        starts = list(range(0, len(items), batch))
+        for bi, s in enumerate(starts):
+            if pending is None:
+                pending = dispatch(items[s:s + batch])
+            chunk, meta, fut, t0, t1 = pending
+            # enqueue the NEXT batch before draining this one
+            pending = (dispatch(items[starts[bi + 1]:starts[bi + 1] + batch])
+                       if bi + 1 < len(starts) else None)
+            dets, counts = jax.device_get(fut)
             t2 = time.time()
             self.results = []
             for j, c in enumerate(chunk):

@@ -354,6 +354,12 @@ class BaseTrainer(CallbackMixin):
         loader = build_dataloader(train_ds, args.batch, args.imgsz, train=True,
                                   hyp=args, seed=args.seed, workers=args.workers,
                                   device_augment=dev_aug)
+        # the loss scales by the static batch size (reference loss.py:208),
+        # so a padded short batch would mis-weight its images — enforce the
+        # drop-last convention instead of trusting it (pad_batch_to stays
+        # val-only, parallel/mesh.py:156)
+        assert loader.drop_last, \
+            "training loaders must drop short batches (drop_last=True)"
         nb = len(loader)
         warmup_steps = max(round(args.warmup_epochs * nb), 100)
         total_steps = nb * args.epochs

@@ -275,17 +275,21 @@ def build_module(spec: LayerSpec, dtype, strides: Optional[Tuple[int, ...]],
     raise KeyError(f"unknown module type {m!r}")
 
 
-def fast_init(model: nn.Module, key, dummy: jnp.ndarray) -> Dict:
+def fast_init(model: nn.Module, seed, dummy: jnp.ndarray) -> Dict:
     """Materialize a variables tree from eval_shape'd structure — no forward
-    trace, no XLA compile (the reference pays a real dummy forward per build,
-    tasks.py:241-245; we pay shape inference only).
+    trace, no XLA compile, and NO device interaction at all (the reference
+    pays a real dummy forward per build, tasks.py:241-245; an earlier
+    version here paid one eager `jax.random.randint` whose value-fetch
+    could stall minutes behind the TPU tunnel's process grant).
 
     Leaves are filled by name with the same distributions the module
     initializers use: conv/dense kernels kaiming-uniform (torch default),
     norm scales 1, biases/means 0, variances 1, GRN gamma/beta 0.
     """
-    shapes = jax.eval_shape(lambda k, x: model.init(k, x, train=True), key, dummy)
-    seed = int(jax.random.randint(key, (), 0, 2 ** 31 - 1))
+    abstract_key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    shapes = jax.eval_shape(lambda k, x: model.init(k, x, train=True),
+                            abstract_key, dummy)
+    seed = int(seed)
 
     def materialize(path, sds):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
@@ -452,14 +456,14 @@ class DetectionModel(BaseModel):
         self.reg_max = 16 if head.name == "TOODHead" else 4  # fork quirk (head.py:145,481)
         self.no = self.nc + 4 * self.reg_max
 
-        key = jax.random.PRNGKey(seed)
+        key = jax.ShapeDtypeStruct((2,), jnp.uint32)  # abstract: host-only init
         if self.head_name == "RTDETRDecoder":
             self.stride = (32,)  # reference default for non-Detect heads (tasks.py:248)
         else:
             # stride discovery: shape-only trace of a 640px dummy forward
             probe = GraphModel(self.specs, self.save, strides=None, dtype=dtype,
                                act=self.act)
-            dummy = jnp.zeros((1, 640, 640, ch), dtype)
+            dummy = jax.ShapeDtypeStruct((1, 640, 640, ch), dtype)
             out_shape = jax.eval_shape(
                 lambda k, x: probe.init_with_output(k, x, train=True), key, dummy)[0]
             feats = self._head_feats(out_shape)
@@ -468,7 +472,8 @@ class DetectionModel(BaseModel):
         self.model = GraphModel(self.specs, self.save, strides=self.stride,
                                  dtype=dtype, act=self.act)
         self.variables = unfreeze(jax.device_get(
-            fast_init(self.model, key, jnp.zeros((1, 64, 64, ch), dtype))))
+            fast_init(self.model, seed,
+                      jax.ShapeDtypeStruct((1, 64, 64, ch), dtype))))
         self._bias_init()
         self.names = {i: f"{i}" for i in range(self.nc)}
 
@@ -640,8 +645,8 @@ class ClassificationModel(BaseModel):
         self.model = GraphModel(self.specs, self.save, strides=None, dtype=dtype,
                                  act=self.act)
         self.variables = unfreeze(jax.device_get(
-            fast_init(self.model, jax.random.PRNGKey(seed),
-                      jnp.zeros((1, 224, 224, ch), dtype))))
+            fast_init(self.model, seed,
+                      jax.ShapeDtypeStruct((1, 224, 224, ch), dtype))))
         self.names = {i: f"{i}" for i in range(self.nc)}
 
 
