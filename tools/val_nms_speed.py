@@ -34,13 +34,14 @@ def main(batch=16, A=6400, nc=2):
         out = fn(pred)
         jax.device_get(out[1].ravel()[:1])
         print(f"{tag} compile: {time.perf_counter() - t0:.1f} s", flush=True)
-        n = 5
+        n = 40
         t0 = time.perf_counter()
         for _ in range(n):
             out = fn(pred)
         jax.device_get(out[1].ravel()[:1])
-        dt = ((time.perf_counter() - t0) / n - 0.027) * 1e3
-        print(f"{tag}: {dt:.1f} ms/batch ({dt / batch:.2f} ms/img)",
+        # dispatches pipeline on-device; one ~27 ms tunnel sync at the end
+        dt = (time.perf_counter() - t0 - 0.027) / n * 1e3
+        print(f"{tag}: {dt:.2f} ms/batch ({dt / batch:.3f} ms/img)",
               flush=True)
         return out
 
