@@ -45,7 +45,10 @@ def get_flops(model_holder, imgsz: int = 640) -> float:
     import jax.numpy as jnp
 
     def fwd(vs, x):
-        out = model_holder.model.apply(vs, x, train=True)
+        # train=True keeps the decode out of the count (raw maps only); BN
+        # running stats must be declared mutable for that mode to trace.
+        out, _ = model_holder.model.apply(vs, x, train=True,
+                                          mutable=["batch_stats"])
         return out
 
     x = jnp.zeros((1, imgsz, imgsz, 3), model_holder.dtype)
