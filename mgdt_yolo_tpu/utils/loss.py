@@ -31,21 +31,27 @@ def _bce_logits(logits, targets):
 def _df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Two-sided distribution focal loss (reference loss.py:80-89).
 
+    Gather-free TPU formulation: the reference's pair of cross-entropies at
+    floor/ceil(target) with weights (ceil-t, t-floor) is exactly
+    cross-entropy against the linear-interpolation weights
+    w_k = max(0, 1 - |t - k|) over the bin axis — only those two bins get
+    nonzero weight for t in [0, bins-1), the clamped bbox2dist domain.
+    A broadcast-multiply-reduce over bins replaces the two
+    jnp.take_along_axis lane-axis gathers, which XLA lowers to a per-index
+    slow path (~12.5 ms each for b32's 819k indices vs <1 ms for the whole
+    contraction — the dominant cost of the composed train-mode loss).
+
     Args:
         pred_dist: (..., 4, bins) logits.
         target: (..., 4) continuous ltrb distances in [0, bins-1).
     Returns:
         (...,) mean over the 4 sides.
     """
-    tl = jnp.floor(target).astype(jnp.int32)
-    tr = tl + 1
-    wl = tr.astype(target.dtype) - target
-    wr = 1.0 - wl
+    bins = pred_dist.shape[-1]
     logp = jax.nn.log_softmax(pred_dist.astype(jnp.float32), axis=-1)
-    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1).squeeze(-1)
-    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, pred_dist.shape[-1] - 1)[..., None],
-                                axis=-1).squeeze(-1)
-    return (ce_l * wl + ce_r * wr).mean(axis=-1)
+    k = jnp.arange(bins, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(target[..., None].astype(jnp.float32) - k))
+    return -(w * logp).sum(axis=-1).mean(axis=-1)
 
 
 class DetectionLoss:

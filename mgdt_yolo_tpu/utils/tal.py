@@ -49,8 +49,10 @@ def select_highest_overlaps(mask_pos: jnp.ndarray, metric: jnp.ndarray,
     fg_mask = mask_pos.sum(axis=-2)  # (b, A)
     mask_multi = (fg_mask[:, None, :] > 1)  # (b, 1, A) broadcast over G
     max_idx = metric.argmax(axis=-2)  # (b, A)
-    is_max = jax.nn.one_hot(max_idx, n_max_boxes, dtype=mask_pos.dtype)  # (b,A,G)
-    is_max = jnp.swapaxes(is_max, -1, -2)  # (b, G, A)
+    # iota-compare builds the (b, G, A) one-hot directly with anchors on the
+    # lane axis — no (b, A, G) minor-dim-G intermediate + transpose
+    is_max = (max_idx[:, None, :] ==
+              jnp.arange(n_max_boxes)[None, :, None]).astype(mask_pos.dtype)
     mask_pos = jnp.where(mask_multi, is_max, mask_pos)
     fg_mask = mask_pos.sum(axis=-2)
     target_gt_idx = mask_pos.argmax(axis=-2)  # (b, A)
@@ -93,10 +95,10 @@ def task_aligned_assign(pd_scores: jnp.ndarray, pd_bboxes: jnp.ndarray,
     mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)  # (b, G, A)
     valid = mask_in_gts * mask_gt_f[..., None]
 
-    # per-gt class scores at every anchor: (b, G, A)
-    bbox_scores = jnp.take_along_axis(
-        jnp.swapaxes(pd_scores, 1, 2),           # (b, nc, A)
-        gt_labels[..., None].astype(jnp.int32), axis=1)
+    # per-gt class scores at every anchor: (b, G, A) — one-hot contraction
+    # over classes instead of a row gather (same rationale as below)
+    cls_oh = jax.nn.one_hot(gt_labels, nc, dtype=pd_scores.dtype)  # (b,G,nc)
+    bbox_scores = jnp.einsum('bgc,bac->bga', cls_oh, pd_scores)
     bbox_scores = bbox_scores * valid
 
     overlaps = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :],
@@ -112,11 +114,15 @@ def task_aligned_assign(pd_scores: jnp.ndarray, pd_bboxes: jnp.ndarray,
     target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(
         mask_pos, align_metric, G)
 
-    # gather targets
-    target_labels = jnp.take_along_axis(gt_labels.astype(jnp.int32),
-                                        target_gt_idx, axis=1)  # (b, A)
-    target_bboxes = jnp.take_along_axis(
-        gt_bboxes, target_gt_idx[..., None].astype(jnp.int32), axis=1)  # (b, A, 4)
+    # gather targets — as one-hot contractions: XLA lowers row gathers with
+    # (b, A)-shaped indices to a per-index slow path (~1 ms each here); the
+    # iota-compare mask keeps anchors on lanes and G on sublanes
+    is_gt = (target_gt_idx[:, None, :] ==
+             jnp.arange(G)[None, :, None])  # (b, G, A) one-hot over gts
+    target_labels = jnp.where(is_gt, gt_labels[..., None].astype(jnp.int32),
+                              0).sum(axis=1)  # (b, A)
+    target_bboxes = jnp.einsum('bga,bgc->bac',
+                               is_gt.astype(gt_bboxes.dtype), gt_bboxes)
     fg = fg_mask > 0
     target_scores = jax.nn.one_hot(target_labels, num_classes,
                                    dtype=pd_scores.dtype)
@@ -161,9 +167,8 @@ def heuristic_assign_v2(pd_scores, pd_bboxes, anc_points, gt_labels,
 
     mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)
     valid = mask_in_gts * mask_gt_f[..., None]
-    bbox_scores = jnp.take_along_axis(
-        jnp.swapaxes(pd_scores, 1, 2),
-        gt_labels[..., None].astype(jnp.int32), axis=1) * valid
+    cls_oh = jax.nn.one_hot(gt_labels, nc, dtype=pd_scores.dtype)
+    bbox_scores = jnp.einsum('bgc,bac->bga', cls_oh, pd_scores) * valid
     overlaps = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :],
                         xywh=False, CIoU=True).squeeze(-1)
     overlaps = jnp.clip(overlaps, 0, None) * valid
@@ -179,10 +184,12 @@ def heuristic_assign_v2(pd_scores, pd_bboxes, anc_points, gt_labels,
     target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(
         mask_pos, overlaps, G)
 
-    target_labels = jnp.take_along_axis(gt_labels.astype(jnp.int32),
-                                        target_gt_idx, axis=1)
-    target_bboxes = jnp.take_along_axis(
-        gt_bboxes, target_gt_idx[..., None].astype(jnp.int32), axis=1)
+    is_gt = (target_gt_idx[:, None, :] ==
+             jnp.arange(G)[None, :, None])  # (b, G, A), same trick as v1
+    target_labels = jnp.where(is_gt, gt_labels[..., None].astype(jnp.int32),
+                              0).sum(axis=1)
+    target_bboxes = jnp.einsum('bga,bgc->bac',
+                               is_gt.astype(gt_bboxes.dtype), gt_bboxes)
     fg = fg_mask > 0
     target_scores = jax.nn.one_hot(target_labels, num_classes,
                                    dtype=pd_scores.dtype)
