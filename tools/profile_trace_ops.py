@@ -90,6 +90,19 @@ def main(batch=32, mode="loss", imgsz=640):
                                       img, train=True, mutable=["batch_stats"])
             return out[1], upd
         run = lambda: prog(params, bs, img)
+    elif mode == "bwd":
+        @jax.jit
+        def prog(params, bs, batch_d):
+            def loss_fn(p):
+                out, upd = mh.model.apply({"params": p, "batch_stats": bs},
+                                          batch_d["img"], train=True,
+                                          mutable=["batch_stats"])
+                lo = criterion(out[1], batch_d, step)
+                return lo.total, upd
+            (loss, upd), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            return loss, grads
+        run = lambda: prog(params, bs, batch_d)
     else:
         @jax.jit
         def prog(params, bs, batch_d):
