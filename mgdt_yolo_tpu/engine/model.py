@@ -134,6 +134,14 @@ class YOLO:
     def __call__(self, source, **kwargs):
         return self.predict(source, **kwargs)
 
+    def serve(self, **kwargs):
+        """Start a micro-batching inference server on this model — the
+        latency-sensitive deployment path (engine/serve.py; no reference
+        analog: its latency harness is per-image torch calls,
+        nn/standard_cal_inference_time.py:9-70)."""
+        from .serve import InferenceServer
+        return InferenceServer(self.model, **kwargs).start()
+
     def track(self, source, **kwargs):
         from ..tracker.track import register_tracker
         kwargs.setdefault("conf", 0.1)

@@ -43,6 +43,10 @@ class BasePredictor(CallbackMixin):
         self._infer = None
 
     def setup_model(self, model_holder, variables=None):
+        if (getattr(self.args, "half", False)
+                and hasattr(model_holder, "with_dtype")):
+            import jax.numpy as jnp
+            model_holder.with_dtype(jnp.bfloat16)  # reference `half` flag
         self.model_holder = model_holder
         self.variables = variables or model_holder.variables
         conf = self.args.conf if self.args.conf else 0.25

@@ -1,0 +1,223 @@
+"""Latency-oriented micro-batching inference server.
+
+The batched predictor (engine/predictor.py) maximizes throughput over a
+known source list; this module serves CONCURRENT single-image requests at
+low latency. Batch-1 dispatch underfills the MXU (and on this dev box pays
+a ~27 ms tunnel round-trip per call), so the TPU-native serving shape is:
+
+- **micro-batching**: requests arriving within `max_wait_ms` of each other
+  coalesce into one static-shape jitted forward+NMS dispatch, padded up to
+  the fixed `batch` so XLA compiles exactly one program;
+- **dispatch overlap**: a bounded two-deep in-flight queue lets the host
+  preprocess + upload batch i+1 while the device computes batch i (the
+  reference's CUDA streams get this implicitly; under jax async dispatch
+  it falls out of not blocking on the result).
+
+The reference has no serving component — its latency harness is per-image
+torch calls (reference nn/standard_cal_inference_time.py:9-70). This is the
+TPU-native answer to that protocol for deployment.
+
+Usage::
+
+    server = YOLO("yolov8n.yaml").serve(batch=8, max_wait_ms=2.0)
+    fut = server.submit(bgr_image)          # returns concurrent Future
+    result = fut.result()                   # engine.results.Results
+    server.stop()
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..data.augment import letterbox
+from ..ops.boxes import scale_boxes
+from ..ops.nms import non_max_suppression
+from ..utils import LOGGER
+from .results import Results
+
+
+class InferenceServer:
+    """Coalesce concurrent single-image requests into micro-batches.
+
+    Two worker threads: a *collector* that gathers up to `batch` requests
+    (waiting at most `max_wait_ms` for stragglers after the first), prepares
+    the padded static batch and dispatches the jitted program; and a
+    *drainer* that blocks on `jax.device_get` for the oldest in-flight batch
+    and resolves the request futures. The in-flight queue is bounded at 2:
+    enough to overlap host work with device compute, small enough that a
+    request never waits behind more than one foreign batch.
+    """
+
+    def __init__(self, model_holder, batch: int = 8, max_wait_ms: float = 2.0,
+                 imgsz: int = 640, conf: float = 0.25, iou: float = 0.7,
+                 max_det: int = 300, agnostic: bool = False):
+        self.model_holder = model_holder
+        self.variables = model_holder.variables
+        self.batch = int(batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self.imgsz = int(imgsz)
+        self.names = getattr(model_holder, "names", {})
+
+        @jax.jit
+        def infer(vs, img):
+            import jax.numpy as jnp
+            x = img.astype(jnp.float32) / 255.0
+            decoded, _ = model_holder.model.apply(vs, x, train=False)
+            return non_max_suppression(decoded, conf_thres=conf, iou_thres=iou,
+                                       max_det=max_det, agnostic=agnostic)
+        self._infer = infer
+
+        self._requests: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=2)
+        self._stop = object()  # sentinel
+        self._started = False
+        self._lock = threading.Lock()
+        self.stats: Dict[str, float] = {"requests": 0, "batches": 0,
+                                        "occupancy_sum": 0}
+        self._latencies: List[float] = []
+
+    # ---- public surface ----------------------------------------------------
+    def start(self) -> "InferenceServer":
+        if self._started:
+            return self
+        self._started = True
+        self._collector = threading.Thread(target=self._collect_loop,
+                                           name="mgdt-serve-collect", daemon=True)
+        self._drainer = threading.Thread(target=self._drain_loop,
+                                         name="mgdt-serve-drain", daemon=True)
+        self._collector.start()
+        self._drainer.start()
+        return self
+
+    def submit(self, img_bgr: np.ndarray) -> Future:
+        """Enqueue one BGR HWC uint8 image; resolves to a Results object."""
+        if not self._started:
+            raise RuntimeError("InferenceServer not started (call .start())")
+        fut: Future = Future()
+        self._requests.put((img_bgr, fut, time.monotonic()))
+        return fut
+
+    def predict(self, img_bgr: np.ndarray) -> Results:
+        """Synchronous convenience wrapper around submit()."""
+        return self.submit(img_bgr).result()
+
+    def stop(self):
+        """Drain in-flight work and join the worker threads."""
+        if not self._started:
+            return
+        self._requests.put(self._stop)
+        self._collector.join()
+        self._inflight.put(self._stop)
+        self._drainer.join()
+        self._started = False
+
+    def __enter__(self) -> "InferenceServer":
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def latency_ms(self) -> Dict[str, float]:
+        """Observed submit→result latency percentiles (served requests)."""
+        with self._lock:
+            lat = np.asarray(self._latencies, dtype=np.float64) * 1e3
+        if lat.size == 0:
+            return {"n": 0}
+        return {"n": int(lat.size), "mean": float(lat.mean()),
+                "p50": float(np.percentile(lat, 50)),
+                "p90": float(np.percentile(lat, 90)),
+                "max": float(lat.max())}
+
+    @property
+    def mean_occupancy(self) -> float:
+        b = self.stats["batches"]
+        return self.stats["occupancy_sum"] / b if b else 0.0
+
+    # ---- worker loops --------------------------------------------------------
+    def _collect_loop(self):
+        while True:
+            item = self._requests.get()
+            if item is self._stop:
+                return
+            reqs = [item]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(reqs) < self.batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._requests.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is self._stop:
+                    self._dispatch(reqs)
+                    return
+                reqs.append(nxt)
+            self._dispatch(reqs)
+
+    def _dispatch(self, reqs):
+        try:
+            self._dispatch_inner(reqs)
+        except Exception as e:  # fail the batch, keep the server alive
+            LOGGER.warning(f"serve: batch dispatch failed: {e}")
+            for _img, fut, _t in reqs:
+                if not fut.done():
+                    fut.set_exception(e)
+
+    def _dispatch_inner(self, reqs):
+        imgs, metas = [], []
+        for img, _fut, _t in reqs:
+            lb, ratio, pad = letterbox(img, (self.imgsz, self.imgsz),
+                                       scaleup=True)
+            imgs.append(lb[..., ::-1])  # BGR->RGB; normalized on device
+            metas.append((img.shape[:2], (ratio, pad)))
+        x = np.stack(imgs)
+        if len(reqs) < self.batch:  # pad to the one compiled shape
+            pad_rows = np.zeros((self.batch - len(reqs), *x.shape[1:]), x.dtype)
+            x = np.concatenate([x, pad_rows], axis=0)
+        out = self._infer(self.variables, x)  # async dispatch — do not block
+        self.stats["batches"] += 1
+        self.stats["requests"] += len(reqs)
+        self.stats["occupancy_sum"] += len(reqs)
+        self._inflight.put((reqs, metas, out))  # blocks at depth 2
+
+    def _drain_loop(self):
+        while True:
+            item = self._inflight.get()
+            if item is self._stop:
+                return
+            reqs, metas, out = item
+            try:
+                dets, counts = jax.device_get(out)
+            except Exception as e:  # resolve futures instead of hanging callers
+                for _img, fut, _t in reqs:
+                    fut.set_exception(e)
+                continue
+            t_done = time.monotonic()
+            for j, (img, fut, t_sub) in enumerate(reqs):
+                n = int(counts[j])
+                det = np.asarray(dets[j][:n]).copy()
+                ori_shape, ratio_pad = metas[j]
+                if n:
+                    det[:, :4] = scale_boxes((self.imgsz, self.imgsz),
+                                             det[:, :4], ori_shape, ratio_pad)
+                lat = t_done - t_sub
+                with self._lock:
+                    self._latencies.append(lat)
+                    if len(self._latencies) > 10000:
+                        del self._latencies[:5000]
+                speed = {"preprocess": 0.0, "inference": lat * 1e3,
+                         "postprocess": 0.0}
+                fut.set_result(Results(img, "", self.names, det, speed=speed))
+
+
+def serve(model_holder, **kwargs) -> InferenceServer:
+    """Build and start an InferenceServer on a model holder."""
+    srv = InferenceServer(model_holder, **kwargs)
+    return srv.start()

@@ -337,6 +337,15 @@ class BaseTrainer(CallbackMixin):
         self.run_callbacks("on_pretrain_routine_start")
         mh = self.setup_model()
         args = self.args
+        # amp: bf16 compute on the TPU backend (the reference's AMP autocast
+        # + check_amp gate, yolo/utils/checks.py:350-397; no GradScaler —
+        # bf16 has fp32's exponent range). Params/BN stats stay fp32.
+        if (bool(getattr(args, "amp", True)) and hasattr(mh, "with_dtype")
+                and jax.default_backend() == "tpu"):
+            from ..utils.checks import check_bf16
+            if check_bf16():
+                mh.with_dtype(jnp.bfloat16)
+                LOGGER.info("amp: training with bf16 compute (params fp32)")
         self.save_dir.mkdir(parents=True, exist_ok=True)
         self.wdir.mkdir(parents=True, exist_ok=True)
         yaml_save(self.save_dir / "args.yaml", vars(args))

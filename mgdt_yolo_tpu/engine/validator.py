@@ -130,6 +130,8 @@ class DetectionValidator(BaseValidator):
     def __call__(self, model_holder, variables=None, dataset=None,
                  max_batches: Optional[int] = None) -> Dict[str, float]:
         args = self.args
+        if getattr(args, "half", False) and hasattr(model_holder, "with_dtype"):
+            model_holder.with_dtype(jnp.bfloat16)  # reference val.py half (autocast)
         variables = variables or model_holder.variables
         conf = args.conf if args.conf else 0.001
         batch_size = args.batch

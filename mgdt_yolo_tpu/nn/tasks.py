@@ -431,6 +431,19 @@ class BaseModel:
     def num_params(self) -> int:
         return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
 
+    def with_dtype(self, dtype):
+        """Swap the compute dtype in place (mixed precision: params stay
+        fp32; flax modules cast activations/kernels per call). Rebuilds only
+        the graph definition — `self.variables` stays valid. The TPU analog
+        of the reference's AMP autocast (reference engine/trainer.py amp
+        setup via check_amp, yolo/utils/checks.py:350-397)."""
+        if dtype != self.dtype:
+            self.dtype = dtype
+            self.model = GraphModel(self.specs, self.save,
+                                    strides=self.model.strides,
+                                    dtype=dtype, act=self.act)
+        return self
+
 
 class DetectionModel(BaseModel):
     """YAML-defined detection model (reference nn/tasks.py:222-294).

@@ -79,9 +79,31 @@ def main(pid: int, port: int, single: bool):
         local = {k: v[lo:hi] for k, v in gb.items()}
     device_batch = shard_batch(local, mesh)
     assert device_batch["img"].shape[0] == N_GLOBAL  # assembled globally
-    state, metrics = step_fn(state, device_batch)
+    if not single:
+        # AOT-compile BEFORE the first collective executes: the two workers'
+        # compiles serialize on a 1-core host (minutes of skew), and gloo
+        # context creation at first execution has a hard 30 s KV-exchange
+        # deadline (observed: "GetKeyValue() timed out ... 29.99s"). Compile
+        # locally, re-sync on the coordination service with a generous
+        # barrier, then execute in lockstep.
+        compiled = step_fn.lower(state, device_batch).compile()
+        from jax._src import distributed
+        distributed.global_state.client.wait_at_barrier(
+            "mgdt_step_compiled", 600_000)
+        state, metrics = compiled(state, device_batch)
+    else:
+        state, metrics = step_fn(state, device_batch)
     jax.block_until_ready(metrics)
     print(f"MULTIHOST_LOSS {float(metrics['loss']):.6f}", flush=True)
+    if not single:
+        # Reach the coordination-service shutdown barrier together and
+        # explicitly: leaving it to atexit lets interpreter teardown (array
+        # GC, compile-cache writes) skew the two processes past the 30 s
+        # barrier timeout on a 1-core host — observed flake.
+        sync = jax.pmap(lambda x: jax.lax.psum(x, "i"), axis_name="i")(
+            jnp.ones((jax.local_device_count(),), jnp.float32))
+        jax.block_until_ready(sync)
+        jax.distributed.shutdown()
 
 
 if __name__ == "__main__":
