@@ -140,6 +140,11 @@ def handle_yolo_settings(args) -> None:
     elif args:
         kv = {}
         for a in merge_equals_args(args):
+            if "=" not in a:
+                raise SyntaxError(
+                    f"settings argument {a!r} needs 'key=value' form, e.g. "
+                    f"'yolo settings {a}=/path' ('yolo settings' alone prints "
+                    f"current values, 'yolo settings reset' restores defaults)")
             k, v = a.split("=", 1)
             with contextlib.suppress(ValueError, SyntaxError):
                 import ast

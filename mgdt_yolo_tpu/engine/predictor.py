@@ -28,6 +28,28 @@ from ..utils.callbacks import CallbackMixin
 from .results import Results
 
 
+def letterbox_batch(imgs: List[np.ndarray], imgsz: int):
+    """Letterbox BGR images into one RGB uint8 batch + (ori_shape, ratio_pad)
+    metas. Shared by the stream predictor and the micro-batching server so
+    the two paths cannot diverge on letterbox/meta conventions."""
+    out, meta = [], []
+    for im in imgs:
+        lb, ratio, pad = letterbox(im, (imgsz, imgsz), scaleup=True)
+        out.append(lb[..., ::-1])  # BGR->RGB; normalized on device
+        meta.append((im.shape[:2], (ratio, pad)))
+    return np.stack(out), meta
+
+
+def det_to_original(det: np.ndarray, imgsz: int, meta) -> np.ndarray:
+    """Rescale one image's [x1,y1,x2,y2,...] rows from the letterboxed frame
+    back to original-image coordinates (in place; returns det)."""
+    ori_shape, ratio_pad = meta
+    if len(det):
+        det[:, :4] = scale_boxes((imgsz, imgsz), det[:, :4], ori_shape,
+                                 ratio_pad)
+    return det
+
+
 def load_source(source) -> List[Dict]:
     """Resolve a predict source to a list of {img(BGR), path} dicts (images,
     videos, streams, arrays — via data/loaders.py source sniffing)."""
@@ -69,13 +91,7 @@ class BasePredictor(CallbackMixin):
         self._infer = infer
 
     def preprocess(self, imgs: List[np.ndarray]):
-        out, meta = [], []
-        for im in imgs:
-            lb, ratio, pad = letterbox(im, (self.args.imgsz, self.args.imgsz),
-                                       scaleup=True)
-            out.append(lb[..., ::-1])  # BGR->RGB uint8; normalized on device
-            meta.append((im.shape[:2], (ratio, pad)))
-        return np.stack(out), meta
+        return letterbox_batch(imgs, self.args.imgsz)
 
     def stream_inference(self, source, batch: int = 1) -> Iterator[Results]:
         items = load_source(source)
@@ -104,21 +120,24 @@ class BasePredictor(CallbackMixin):
             # enqueue the NEXT batch before draining this one
             pending = (dispatch(items[starts[bi + 1]:starts[bi + 1] + batch])
                        if bi + 1 < len(starts) else None)
+            # Inference time = the wait for THIS batch's result. t1 (dispatch)
+            # would also count the previous batch's host postprocess/save and
+            # the stream consumer's work done since then — with overlap, the
+            # blocked-on-device window is the honest marginal cost.
+            t_get = time.time()
             dets, counts = jax.device_get(fut)
             t2 = time.time()
             self.results = []
             for j, c in enumerate(chunk):
                 n = int(counts[j])
-                det = np.asarray(dets[j][:n]).copy()
-                ori_shape, ratio_pad = meta[j]
-                if n:
-                    det[:, :4] = scale_boxes((self.args.imgsz, self.args.imgsz),
-                                             det[:, :4], ori_shape, ratio_pad)
+                det = det_to_original(np.asarray(dets[j][:n]).copy(),
+                                      self.args.imgsz, meta[j])
                 speed = {"preprocess": (t1 - t0) / len(chunk) * 1e3,
-                         "inference": (t2 - t1) / len(chunk) * 1e3,
+                         "inference": (t2 - t_get) / len(chunk) * 1e3,
                          "postprocess": 0.0}
                 r = Results(c["img"], c["path"], names, det, speed=speed)
                 self.results.append(r)
+            self.batch_items = chunk  # per-result source items (tracker keys)
             self.run_callbacks("on_predict_postprocess_end")
             for r, c in zip(self.results, chunk):
                 if (self.args.save or self.args.save_txt

@@ -84,6 +84,8 @@ class Boxes(SimpleClass, _TensorOps):
         h, w = self.orig_shape[:2]
         return self.xywh / np.array([w, h, w, h])
 
+    _deprecated = ("boxes",)  # excluded from SimpleClass.__str__'s walk
+
     @property
     def boxes(self):
         """Deprecated alias for .data (reference results.py:440-444)."""
@@ -93,6 +95,8 @@ class Boxes(SimpleClass, _TensorOps):
 
 class Masks(SimpleClass, _TensorOps):
     """(n, H, W) instance masks (reference results.py:447-500)."""
+
+    _deprecated = ("segments", "masks")  # excluded from __str__'s walk
 
     def __init__(self, masks: np.ndarray, orig_shape):
         self.data = np.atleast_3d(np.asarray(masks))

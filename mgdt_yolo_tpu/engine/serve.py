@@ -35,11 +35,26 @@ from typing import Dict, List, Optional
 import jax
 import numpy as np
 
-from ..data.augment import letterbox
-from ..ops.boxes import scale_boxes
 from ..ops.nms import non_max_suppression
 from ..utils import LOGGER
+from .predictor import det_to_original, letterbox_batch
 from .results import Results
+
+
+def _safe_resolve(fut: Future, result=None, exc: Optional[Exception] = None):
+    """Resolve a request future without ever raising: callers may legally
+    cancel() a pending future (these are never set_running_or_notify_cancel'd),
+    and set_result/set_exception on a cancelled future raises
+    InvalidStateError — which must not kill a worker loop."""
+    try:
+        if fut.done():
+            return
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except Exception:
+        pass  # cancelled between the done() check and the set
 
 
 class InferenceServer:
@@ -109,13 +124,26 @@ class InferenceServer:
 
     def stop(self):
         """Drain in-flight work and join the worker threads."""
-        if not self._started:
-            return
+        with self._lock:
+            if not self._started:
+                return
+            self._started = False  # new submit() calls fail fast from here
         self._requests.put(self._stop)
         self._collector.join()
+        # A submit() that passed the _started check concurrently with stop()
+        # may have enqueued BEHIND the sentinel; fail those futures instead
+        # of leaving their callers blocked in fut.result() forever.
+        while True:
+            try:
+                item = self._requests.get_nowait()
+            except queue.Empty:
+                break
+            if item is self._stop:
+                continue
+            _img, fut, _t = item
+            _safe_resolve(fut, exc=RuntimeError("InferenceServer stopped"))
         self._inflight.put(self._stop)
         self._drainer.join()
-        self._started = False
 
     def __enter__(self) -> "InferenceServer":
         return self.start()
@@ -167,17 +195,11 @@ class InferenceServer:
         except Exception as e:  # fail the batch, keep the server alive
             LOGGER.warning(f"serve: batch dispatch failed: {e}")
             for _img, fut, _t in reqs:
-                if not fut.done():
-                    fut.set_exception(e)
+                _safe_resolve(fut, exc=e)
 
     def _dispatch_inner(self, reqs):
-        imgs, metas = [], []
-        for img, _fut, _t in reqs:
-            lb, ratio, pad = letterbox(img, (self.imgsz, self.imgsz),
-                                       scaleup=True)
-            imgs.append(lb[..., ::-1])  # BGR->RGB; normalized on device
-            metas.append((img.shape[:2], (ratio, pad)))
-        x = np.stack(imgs)
+        x, metas = letterbox_batch([img for img, _fut, _t in reqs],
+                                   self.imgsz)
         if len(reqs) < self.batch:  # pad to the one compiled shape
             pad_rows = np.zeros((self.batch - len(reqs), *x.shape[1:]), x.dtype)
             x = np.concatenate([x, pad_rows], axis=0)
@@ -197,24 +219,26 @@ class InferenceServer:
                 dets, counts = jax.device_get(out)
             except Exception as e:  # resolve futures instead of hanging callers
                 for _img, fut, _t in reqs:
-                    fut.set_exception(e)
+                    _safe_resolve(fut, exc=e)
                 continue
             t_done = time.monotonic()
             for j, (img, fut, t_sub) in enumerate(reqs):
-                n = int(counts[j])
-                det = np.asarray(dets[j][:n]).copy()
-                ori_shape, ratio_pad = metas[j]
-                if n:
-                    det[:, :4] = scale_boxes((self.imgsz, self.imgsz),
-                                             det[:, :4], ori_shape, ratio_pad)
-                lat = t_done - t_sub
-                with self._lock:
-                    self._latencies.append(lat)
-                    if len(self._latencies) > 10000:
-                        del self._latencies[:5000]
-                speed = {"preprocess": 0.0, "inference": lat * 1e3,
-                         "postprocess": 0.0}
-                fut.set_result(Results(img, "", self.names, det, speed=speed))
+                try:
+                    n = int(counts[j])
+                    det = det_to_original(np.asarray(dets[j][:n]).copy(),
+                                          self.imgsz, metas[j])
+                    lat = t_done - t_sub
+                    with self._lock:
+                        self._latencies.append(lat)
+                        if len(self._latencies) > 10000:
+                            del self._latencies[:5000]
+                    speed = {"preprocess": 0.0, "inference": lat * 1e3,
+                             "postprocess": 0.0}
+                    _safe_resolve(fut, Results(img, "", self.names, det,
+                                               speed=speed))
+                except Exception as e:  # one bad request must not kill the
+                    _safe_resolve(fut, exc=e)  # drainer for the whole server
+                    LOGGER.warning(f"serve: request postprocess failed: {e}")
 
 
 def serve(model_holder, **kwargs) -> InferenceServer:

@@ -176,7 +176,10 @@ class DetectionValidator(BaseValidator):
                           else list(range(1000)))
         if self.is_coco:
             from pathlib import Path
-            root = Path(img_path).parents[1] if img_path else None
+            # resolve() so short relative paths (cwd inside the dataset,
+            # e.g. img_path='val2017') still have two parents to climb
+            parents = Path(img_path).resolve().parents if img_path else []
+            root = parents[1] if len(parents) > 1 else None
             self.anno_json = (root / "annotations/instances_val2017.json"
                               if root else None)
         self.run_callbacks("on_val_start")

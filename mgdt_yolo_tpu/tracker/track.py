@@ -49,21 +49,47 @@ def load_tracker_cfg(tracker) -> IterableSimpleNamespace:
 
 
 def on_predict_start(predictor, persist: bool = False):
-    """One tracker per batch slot, configured from predictor.args.tracker
-    (reference tracker/track.py:15-36)."""
+    """Configure tracking from predictor.args.tracker (reference
+    tracker/track.py:15-36). Trackers are allocated lazily per *stream*
+    (see tracker_for) rather than per batch index: this predictor's batches
+    hold CONSECUTIVE frames of one sequential source, so indexing trackers
+    by position-in-batch would round-robin one video's frames across
+    independent Kalman states and fragment IDs whenever batch > 1."""
     if hasattr(predictor, "trackers") and persist:
         return
-    cfg = load_tracker_cfg(getattr(predictor.args, "tracker", None))
-    n_slots = int(getattr(predictor, "dataset_bs", 1) or 1)
-    predictor.trackers = [TRACKER_MAP[cfg.tracker_type](args=cfg,
-                                                        frame_rate=30)
-                          for _ in range(n_slots)]
+    predictor._tracker_cfg = load_tracker_cfg(
+        getattr(predictor.args, "tracker", None))
+    predictor.trackers = {}  # stream key -> tracker
+
+
+def tracker_for(predictor, key):
+    """Get (or lazily create) the tracker owning stream `key`.
+
+    Keys are the source path for video/stream frames — each video or live
+    stream gets its own Kalman/ID space — and a single shared key for still
+    images, which the reference treats as one continuous frame sequence
+    (its LoadImages runs bs=1 through slot 0)."""
+    tr = predictor.trackers.get(key)
+    if tr is None:
+        cfg = predictor._tracker_cfg
+        tr = TRACKER_MAP[cfg.tracker_type](args=cfg, frame_rate=30)
+        predictor.trackers[key] = tr
+    return tr
+
+
+def _stream_key(predictor, i, result):
+    items = getattr(predictor, "batch_items", None)
+    if items is not None and i < len(items):
+        it = items[i]
+        if it.get("is_video"):
+            return it.get("path", "__frames__")
+    return "__frames__"
 
 
 def on_predict_postprocess_end(predictor):
     """Update trackers with the batch detections, reindex Results rows."""
     for i, result in enumerate(predictor.results):
-        tracker = predictor.trackers[min(i, len(predictor.trackers) - 1)]
+        tracker = tracker_for(predictor, _stream_key(predictor, i, result))
         det = result.boxes.data
         if len(det) == 0:
             tracker.update(np.zeros((0, 4), np.float32),

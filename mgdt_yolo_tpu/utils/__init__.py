@@ -57,7 +57,10 @@ class SimpleClass:
 
     def __str__(self):
         attr = []
-        for a in dir(self):
+        skip = getattr(self, "_deprecated", ())  # alias properties log a
+        for a in dir(self):                      # warning when read — don't
+            if a in skip:                        # fire it from every repr()
+                continue
             v = getattr(self, a)
             if not callable(v) and not a.startswith("_"):
                 attr.append(f"{a}: {v.__class__.__module__}.{v.__class__.__name__} object")

@@ -53,6 +53,24 @@ def test_server_coalesces_and_matches_predictor(served_model):
             np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
 
 
+def test_cancelled_future_does_not_kill_drainer(served_model):
+    """A caller may cancel() a pending Future; resolving it raises
+    InvalidStateError, which must not take down the drain loop (every later
+    request would then hang forever)."""
+    srv = served_model.serve(batch=4, max_wait_ms=50.0, imgsz=64, conf=1e-3)
+    try:
+        imgs = _images(3, seed=3)
+        f_cancel = srv.submit(imgs[0])
+        f_keep = srv.submit(imgs[1])
+        f_cancel.cancel()  # legal: never set_running_or_notify_cancel'd
+        assert f_keep.result(timeout=600) is not None
+        # the server must still serve brand-new requests afterwards
+        assert srv.predict(imgs[2]) is not None
+    finally:
+        srv.stop()
+    assert f_cancel.cancelled()
+
+
 def test_server_short_batch_and_restartless_stop(served_model):
     srv = served_model.serve(batch=4, max_wait_ms=1.0, imgsz=64, conf=1e-3)
     try:

@@ -101,20 +101,20 @@ class TestTrackerConfig:
     def test_custom_yaml_overrides_take_effect(self, tmp_path):
         from types import SimpleNamespace
 
-        from mgdt_yolo_tpu.tracker.track import on_predict_start
+        from mgdt_yolo_tpu.tracker.track import on_predict_start, tracker_for
         custom = tmp_path / "mytracker.yaml"
         custom.write_text(
             "tracker_type: bytetrack\ntrack_high_thresh: 0.9\n"
             "track_low_thresh: 0.2\nnew_track_thresh: 0.7\n"
             "track_buffer: 15\nmatch_thresh: 0.6\n")
-        pred = SimpleNamespace(args=SimpleNamespace(tracker=str(custom)),
-                               dataset_bs=1)
+        pred = SimpleNamespace(args=SimpleNamespace(tracker=str(custom)))
         on_predict_start(pred)
-        tr = pred.trackers[0]
+        tr = tracker_for(pred, "__frames__")
         assert isinstance(tr, BYTETracker)
         assert tr.args.track_high_thresh == 0.9
         assert tr.args.new_track_thresh == 0.7
         assert tr.max_time_lost == 15
+        assert tracker_for(pred, "__frames__") is tr  # stable per stream
 
     def test_unknown_tracker_rejected(self, tmp_path):
         import pytest
@@ -127,25 +127,62 @@ class TestTrackerConfig:
         with pytest.raises(FileNotFoundError):
             load_tracker_cfg("no_such_tracker.yaml")
 
-    def test_one_tracker_per_slot_with_isolation(self):
-        """Two stream slots: each gets its own tracker; feeding them
-        disjoint scenes must not cross-contaminate Kalman states/IDs."""
+    def test_one_tracker_per_stream_with_isolation(self):
+        """Two streams: each gets its own tracker; feeding them disjoint
+        scenes must not cross-contaminate Kalman states/IDs."""
         from types import SimpleNamespace
 
-        from mgdt_yolo_tpu.tracker.track import on_predict_start
-        pred = SimpleNamespace(args=SimpleNamespace(tracker="bytetrack.yaml"),
-                               dataset_bs=2)
+        from mgdt_yolo_tpu.tracker.track import on_predict_start, tracker_for
+        pred = SimpleNamespace(args=SimpleNamespace(tracker="bytetrack.yaml"))
         on_predict_start(pred)
+        t0 = tracker_for(pred, "a.mp4")
+        t1 = tracker_for(pred, "b.mp4")
         assert len(pred.trackers) == 2
-        assert pred.trackers[0] is not pred.trackers[1]
-        t0, t1 = pred.trackers
+        assert t0 is not t1
         for t in range(6):
-            r0 = t0.update(_moving_boxes(t, 1), np.array([0.9]),
-                           np.array([0.0]))
+            t0.update(_moving_boxes(t, 1), np.array([0.9]), np.array([0.0]))
             box1 = np.asarray([[300.0, 300 + 2 * t, 340, 340 + 2 * t]],
                               np.float32)
-            r1 = t1.update(box1, np.array([0.9]), np.array([0.0]))
+            t1.update(box1, np.array([0.9]), np.array([0.0]))
         assert len(t0.tracked_stracks) == 1 and len(t1.tracked_stracks) == 1
-        # slot 0's track follows slot 0's motion only
+        # stream a's track follows stream a's motion only
         assert abs(t0.tracked_stracks[0].tlwh[1] - 30) < 10
         assert t1.tracked_stracks[0].tlwh[1] > 250
+
+    def test_batched_video_frames_share_one_tracker(self):
+        """A batch holds CONSECUTIVE frames of one video (this predictor
+        chunks a sequential source): all of them must update the SAME
+        tracker in frame order, not round-robin across per-index trackers
+        (which would fragment IDs whenever batch > 1)."""
+        from types import SimpleNamespace
+
+        from mgdt_yolo_tpu.engine.results import Results
+        from mgdt_yolo_tpu.tracker.track import (on_predict_postprocess_end,
+                                                 on_predict_start)
+        img = np.zeros((96, 96, 3), np.uint8)
+        pred = SimpleNamespace(args=SimpleNamespace(tracker="bytetrack.yaml"))
+        on_predict_start(pred)
+        ids_per_frame = []
+        frame = 0
+        for _batch in range(4):  # 4 batches x batch-size 3 = 12 frames
+            results, items = [], []
+            for _ in range(3):
+                det = np.concatenate(
+                    [_moving_boxes(frame), [[0.9], [0.85]],
+                     [[0.0], [1.0]]], axis=1).astype(np.float32)
+                results.append(Results(img, "video.mp4", {0: "a", 1: "b"},
+                                       det))
+                items.append({"img": img, "path": "video.mp4",
+                              "frame_idx": frame, "is_video": True})
+                frame += 1
+            pred.results = results
+            pred.batch_items = items
+            on_predict_postprocess_end(pred)
+            for r in results:
+                d = np.asarray(r.boxes.data)
+                if len(d) == 2:
+                    ids_per_frame.append(tuple(sorted(d[:, 4].astype(int))))
+        assert len(pred.trackers) == 1  # one stream -> one tracker
+        assert len(ids_per_frame) >= 9
+        assert len(set(ids_per_frame)) == 1, \
+            f"ids fragmented across batch slots: {set(ids_per_frame)}"
