@@ -33,6 +33,43 @@ class BaseValidator(CallbackMixin):
         self.init_callbacks()
 
 
+def sharded_val_runner(infer, variables, batch_size: int):
+    """Wrap a jitted `(variables, img) -> outputs` val step with SPMD data
+    sharding when >1 local device is visible.
+
+    Each val batch is padded to one static shape divisible by the mesh and
+    sharded along the batch axis (params replicated). Every op in a val
+    forward+NMS is per-image independent, so XLA partitions it with no
+    collectives — val throughput scales with the mesh for free. The
+    reference's DDP never shards validation (its validator runs on rank 0
+    outside DistributedDataParallel); this is TPU-native headroom.
+    MGDT_VAL_NO_SHARD=1 restores single-device execution.
+
+    Returns run(batch) -> device_get'd outputs, sliced back to the batch's
+    REAL rows (padded zero-images can still emit conf>0.001 detections, so
+    they must never reach host accumulation).
+    """
+    import os
+    ndev = jax.device_count()
+    if ndev <= 1 or os.environ.get("MGDT_VAL_NO_SHARD", "0") == "1":
+        def run(batch):
+            return jax.device_get(infer(variables, batch["img"]))
+        return run
+    from ..parallel.mesh import (create_mesh, pad_batch_to, replicate_tree,
+                                 shard_batch)
+    mesh = create_mesh()
+    vs = replicate_tree(variables, mesh)
+
+    def run(batch):
+        n_real = len(batch["img"])
+        gb = -(-max(n_real, batch_size) // ndev) * ndev
+        # only the images go to device; labels/masks stay host-side
+        dev = shard_batch(pad_batch_to({"img": batch["img"]}, gb), mesh)
+        out = jax.device_get(infer(vs, dev["img"]))
+        return jax.tree.map(lambda a: a[:n_real], out)
+    return run
+
+
 def coco80_to_coco91_class():
     """80-index → 91-index COCO category ids (reference yolo/utils/ops.py):
     the val2017 annotation ids skip 11 removed categories."""
@@ -162,6 +199,8 @@ class DetectionValidator(BaseValidator):
                                        pre_topk=4096, block=1024,
                                        nc=model_holder.nc)
 
+        run_infer = sharded_val_runner(infer, variables, batch_size)
+
         metrics = DetMetrics()
         cm = ConfusionMatrix(model_holder.nc)
         per_image_preds, per_image_gts = [], []
@@ -188,7 +227,7 @@ class DetectionValidator(BaseValidator):
         for bi, batch in enumerate(loader):
             if max_batches and bi >= max_batches:
                 break
-            dets, counts = jax.device_get(infer(variables, batch["img"]))
+            dets, counts = run_infer(batch)
             if bi == 0 and getattr(args, "plots", False):
                 self._plot_val_batch(batch, dets, counts, model_holder)
             in_shape = tuple(batch["img"].shape[1:3])  # rect: per-batch (h, w)

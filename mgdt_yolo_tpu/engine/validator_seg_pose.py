@@ -98,13 +98,14 @@ class SegmentationValidator(BaseValidator):
                                         axis=1)
             return det, cnt, coefs, proto
 
+        from .validator import sharded_val_runner
+        run_infer = sharded_val_runner(infer, variables, args.batch)
         box_m, mask_m = DetMetrics(), DetMetrics()
         n_img = 0
         for bi, batch in enumerate(loader):
             if max_batches and bi >= max_batches:
                 break
-            det, cnt, coefs_all, proto = jax.device_get(
-                infer(variables, batch["img"]))
+            det, cnt, coefs_all, proto = run_infer(batch)
             for j in range(len(det)):
                 n = int(cnt[j])
                 d = np.asarray(det[j][:n])
@@ -182,11 +183,13 @@ class PoseValidator(DetectionValidator):
                                        axis=1)  # (b, max_det, nk)
             return det, cnt, kpts
 
+        from .validator import sharded_val_runner
+        run_infer = sharded_val_runner(infer, variables, args.batch)
         box_m, kpt_m = DetMetrics(), DetMetrics()
         iouv = np.linspace(0.5, 0.95, 10)
         n_img = 0
         for batch in loader:
-            det, cnt, kpts_all = jax.device_get(infer(variables, batch["img"]))
+            det, cnt, kpts_all = run_infer(batch)
             for j in range(len(det)):
                 n = int(cnt[j])
                 d = np.asarray(det[j][:n])
