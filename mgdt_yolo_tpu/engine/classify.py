@@ -122,9 +122,11 @@ class ClassificationValidator(CallbackMixin):
         def infer(vs, img):
             return mh.model.apply(vs, img, train=False)
 
+        from .validator import sharded_val_runner
+        run_infer = sharded_val_runner(infer, mh.variables, args.batch)
         top1 = top5 = n = 0
         for batch in ds.batches(args.batch, shuffle=False):
-            probs = jax.device_get(infer(mh.variables, jnp.asarray(batch["img"])))
+            probs = run_infer({"img": np.asarray(batch["img"])})
             order = np.argsort(-probs, axis=-1)
             top1 += (order[:, 0] == batch["label"]).sum()
             top5 += (order[:, :5] == batch["label"][:, None]).any(-1).sum()

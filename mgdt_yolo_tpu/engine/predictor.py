@@ -90,6 +90,34 @@ class BasePredictor(CallbackMixin):
                                        agnostic=self.args.agnostic_nms)
         self._infer = infer
 
+        # SPMD serving: with >1 local device, predict batches ride a 1-D
+        # data mesh (params replicated, batch sharded; per-image ops need no
+        # collectives) — same design as engine/validator.sharded_val_runner
+        # but non-blocking, so the dispatch-overlap pipeline is preserved.
+        # MGDT_PREDICT_NO_SHARD=1 restores single-device execution.
+        import os
+        ndev = jax.device_count()
+        self._mesh_ndev = 0
+        if ndev > 1 and os.environ.get("MGDT_PREDICT_NO_SHARD", "0") != "1":
+            from ..parallel.mesh import (batch_sharding, create_mesh,
+                                         replicate_tree)
+            mesh = create_mesh()
+            self.variables = replicate_tree(self.variables, mesh)
+            self._batch_sharding = batch_sharding(mesh)
+            self._mesh_ndev = ndev
+
+    def _to_device(self, x: np.ndarray) -> "np.ndarray":
+        """Pad the batch to a mesh-divisible size and shard it (no-op on a
+        single device). Extra zero-image rows may emit detections — callers
+        index outputs by their real chunk length, never the padded one."""
+        if self._mesh_ndev:
+            gb = -(-len(x) // self._mesh_ndev) * self._mesh_ndev
+            if gb != len(x):
+                x = np.concatenate(
+                    [x, np.zeros((gb - len(x), *x.shape[1:]), x.dtype)])
+            return jax.device_put(x, self._batch_sharding)
+        return x
+
     def preprocess(self, imgs: List[np.ndarray]):
         return letterbox_batch(imgs, self.args.imgsz)
 
@@ -108,7 +136,7 @@ class BasePredictor(CallbackMixin):
             t0 = time.time()
             x, meta = self.preprocess([c["img"] for c in chunk])
             t1 = time.time()
-            fut = self._infer(self.variables, x)  # async under jit
+            fut = self._infer(self.variables, self._to_device(x))  # async
             return chunk, meta, fut, t0, t1
 
         pending = None

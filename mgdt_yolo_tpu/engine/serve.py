@@ -88,6 +88,23 @@ class InferenceServer:
                                        max_det=max_det, agnostic=agnostic)
         self._infer = infer
 
+        # SPMD serving: with >1 local device the one compiled batch shape is
+        # rounded up to a mesh-divisible size and sharded along the batch
+        # axis (params replicated) — micro-batches then spread over all
+        # chips. MGDT_PREDICT_NO_SHARD=1 restores single-device execution.
+        import os
+        ndev = jax.device_count()
+        self._mesh_ndev = 0
+        self._device_batch = self.batch
+        if ndev > 1 and os.environ.get("MGDT_PREDICT_NO_SHARD", "0") != "1":
+            from ..parallel.mesh import (batch_sharding, create_mesh,
+                                         replicate_tree)
+            mesh = create_mesh()
+            self.variables = replicate_tree(self.variables, mesh)
+            self._batch_sharding = batch_sharding(mesh)
+            self._mesh_ndev = ndev
+            self._device_batch = -(-self.batch // ndev) * ndev
+
         self._requests: "queue.SimpleQueue" = queue.SimpleQueue()
         self._inflight: "queue.Queue" = queue.Queue(maxsize=2)
         self._stop = object()  # sentinel
@@ -200,9 +217,12 @@ class InferenceServer:
     def _dispatch_inner(self, reqs):
         x, metas = letterbox_batch([img for img, _fut, _t in reqs],
                                    self.imgsz)
-        if len(reqs) < self.batch:  # pad to the one compiled shape
-            pad_rows = np.zeros((self.batch - len(reqs), *x.shape[1:]), x.dtype)
+        if len(reqs) < self._device_batch:  # pad to the one compiled shape
+            pad_rows = np.zeros((self._device_batch - len(reqs),
+                                 *x.shape[1:]), x.dtype)
             x = np.concatenate([x, pad_rows], axis=0)
+        if self._mesh_ndev:
+            x = jax.device_put(x, self._batch_sharding)
         out = self._infer(self.variables, x)  # async dispatch — do not block
         self.stats["batches"] += 1
         self.stats["requests"] += len(reqs)

@@ -64,12 +64,14 @@ class RTDETRValidator:
             dec_bboxes, dec_scores = out[0], out[1]
             return dec_bboxes[-1], dec_scores[-1]
 
+        from ...engine.validator import sharded_val_runner
+        run_infer = sharded_val_runner(infer, variables, args.batch)
         metrics = DetMetrics()
         n_img = 0
         for bi, batch in enumerate(loader):
             if max_batches and bi >= max_batches:
                 break
-            bboxes, scores = jax.device_get(infer(variables, batch["img"]))
+            bboxes, scores = run_infer(batch)
             for j in range(len(bboxes)):
                 det = postprocess_queries(bboxes[j], np.asarray(scores[j]), conf)
                 det[:, :4] *= args.imgsz  # normalized -> letterboxed pixels

@@ -51,6 +51,35 @@ def test_no_shard_escape_hatch(monkeypatch):
     assert (np.asarray(bdim) == 3).all()   # no padding on the escape path
 
 
+def test_sharded_predict_matches_single_device(monkeypatch):
+    """BasePredictor with 8 devices (batch sharded over the mesh, incl. a
+    padded short chunk) == single-device run on the same images."""
+    from mgdt_yolo_tpu import YOLO
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 255, (70 + 6 * i, 90, 3), dtype=np.uint8)
+            for i in range(5)]  # batch 3 -> one full + one short chunk
+    m = YOLO("yolov8n.yaml")
+    # conf 1e-5: a random model's bias init pushes confidences below 1e-3,
+    # which would make this equivalence vacuous (zero detections both ways)
+    kw = dict(imgsz=64, conf=1e-5, iou=0.7, max_det=32, batch=3)
+
+    monkeypatch.setenv("MGDT_PREDICT_NO_SHARD", "1")
+    single = m.predict(imgs, **kw)
+    monkeypatch.delenv("MGDT_PREDICT_NO_SHARD")
+    sharded = m.predict(imgs, **kw)
+
+    assert len(single) == len(sharded) == 5
+    total = 0
+    for a, b in zip(single, sharded):
+        da = np.asarray(a.boxes.data)
+        db = np.asarray(b.boxes.data)
+        assert da.shape == db.shape
+        if da.size:
+            np.testing.assert_allclose(da, db, atol=1e-4, rtol=1e-4)
+        total += len(da)
+    assert total > 20, f"too few detections to witness equivalence ({total})"
+
+
 def test_sharded_val_matches_single_device(monkeypatch, tmp_path):
     """Full DetectionValidator: 8-device sharded run == single-device run
     on identical weights and images (metrics and image count)."""
