@@ -68,18 +68,36 @@ class ClassificationTrainer(CallbackMixin):
         self.model_holder = model
 
     def train(self):
+        """Full reference recipe (reference classify/train.py delegates to
+        BaseTrainer, engine/trainer.py:259-360): build_optimizer's warmup +
+        per-epoch lr decay + decoupled weight decay + grouped bias lr, EMA
+        with the ramped decay, per-epoch EMA validation with best tracking,
+        and last/best orbax checkpoints when a save_dir is configured."""
         args = self.args
         mh = self.model_holder or ClassificationModel(args.model or "yolov8n-cls.yaml")
         self.model_holder = mh
         ds = ClassificationDataset(args.data if args.data not in (None, "synthetic")
                                    else None, imgsz=args.imgsz, nc=mh.nc)
-        tx = optax.sgd(args.lr0, momentum=args.momentum, nesterov=True)
+        from .trainer import build_optimizer
+        steps_per_epoch = max(len(ds) // args.batch, 1)
+        tx = build_optimizer(
+            mh.variables["params"], getattr(args, "optimizer", "auto") or "auto",
+            lr0=args.lr0, lrf=args.lrf, momentum=args.momentum,
+            weight_decay=args.weight_decay,
+            warmup_steps=int(args.warmup_epochs * steps_per_epoch),
+            total_steps=steps_per_epoch * args.epochs,
+            steps_per_epoch=steps_per_epoch, epochs=args.epochs,
+            cos_lr=bool(getattr(args, "cos_lr", False)),
+            warmup_momentum=args.warmup_momentum, nc=mh.nc,
+            warmup_bias_lr=args.warmup_bias_lr)
         params = mh.variables["params"]
         opt_state = tx.init(params)
         batch_stats = mh.variables.get("batch_stats", {})
+        ema = params
+        n_upd = jnp.zeros((), jnp.int32)
 
         @jax.jit
-        def step(params, batch_stats, opt_state, img, label):
+        def step(params, batch_stats, opt_state, ema, n_upd, img, label):
             def loss_fn(p):
                 logits, upd = mh.model.apply(
                     {"params": p, "batch_stats": batch_stats}, img, train=True,
@@ -90,27 +108,56 @@ class ClassificationTrainer(CallbackMixin):
                 return ce, upd["batch_stats"]
             (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, new_opt = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), new_bs, new_opt, loss
+            new_params = optax.apply_updates(params, updates)
+            # EMA with the reference's ramped decay (torch_utils ModelEMA)
+            n = n_upd + 1
+            d = 0.9999 * (1 - jnp.exp(-n.astype(jnp.float32) / 2000.0))
+            new_ema = jax.tree.map(lambda e, p: e * d + (1.0 - d) * p,
+                                   ema, new_params)
+            return new_params, new_bs, new_opt, new_ema, n, loss
 
+        best_top1, best_vars = -1.0, None
+        validator = ClassificationValidator(args=self.args)
         for epoch in range(args.epochs):
             losses = []
             for batch in ds.batches(args.batch, seed=args.seed + epoch):
-                params, batch_stats, opt_state, loss = step(
-                    params, batch_stats, opt_state,
+                params, batch_stats, opt_state, ema, n_upd, loss = step(
+                    params, batch_stats, opt_state, ema, n_upd,
                     jnp.asarray(batch["img"]), jnp.asarray(batch["label"]))
                 losses.append(float(loss))
+            mh.variables = {"params": jax.device_get(ema),
+                            "batch_stats": jax.device_get(batch_stats)}
+            res = validator(mh, dataset=ds)
             LOGGER.info(f"epoch {epoch + 1}/{args.epochs} "
-                        f"loss {np.mean(losses):.4f}")
-        mh.variables = {"params": jax.device_get(params),
-                        "batch_stats": jax.device_get(batch_stats)}
-        validator = ClassificationValidator(args=self.args)
-        return validator(mh, dataset=ds)
+                        f"loss {np.mean(losses):.4f} top1 {res['top1']:.3f}")
+            if res["top1"] >= best_top1:
+                best_top1, best_vars = res["top1"], mh.variables
+                self._save_ckpt(best_vars, "best")
+        self._save_ckpt(mh.variables, "last")
+        if best_vars is not None:  # final weights = best, like the reference
+            mh.variables = best_vars
+        res = validator(mh, dataset=ds)
+        res["best_top1"] = best_top1
+        return res
+
+    def _save_ckpt(self, variables, name: str):
+        save_dir = getattr(self.args, "save_dir", None)
+        if not save_dir:
+            return
+        import shutil
+        import orbax.checkpoint as ocp
+        path = (Path(str(save_dir)) / "weights" / name).absolute()
+        if path.exists():
+            shutil.rmtree(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        ocp.PyTreeCheckpointer().save(path, variables)
 
 
 class ClassificationValidator(CallbackMixin):
     def __init__(self, args=None, dataloader=None):
         self.args = args if args is not None else get_cfg()
         self.init_callbacks()
+        self._infer = None  # jit cache: stable across per-epoch calls
 
     def __call__(self, mh, dataset=None) -> Dict[str, float]:
         args = self.args
@@ -118,12 +165,12 @@ class ClassificationValidator(CallbackMixin):
             args.data if args.data not in (None, "synthetic") else None,
             imgsz=args.imgsz, nc=mh.nc)
 
-        @jax.jit
-        def infer(vs, img):
-            return mh.model.apply(vs, img, train=False)
+        if self._infer is None:
+            self._infer = jax.jit(
+                lambda vs, img: mh.model.apply(vs, img, train=False))
 
         from .validator import sharded_val_runner
-        run_infer = sharded_val_runner(infer, mh.variables, args.batch)
+        run_infer = sharded_val_runner(self._infer, mh.variables, args.batch)
         top1 = top5 = n = 0
         for batch in ds.batches(args.batch, shuffle=False):
             probs = run_infer({"img": np.asarray(batch["img"])})
