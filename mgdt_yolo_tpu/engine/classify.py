@@ -24,7 +24,8 @@ class ClassificationDataset:
     """root/<class_name>/*.jpg layout, or synthetic fallback."""
 
     def __init__(self, root: Optional[str], imgsz: int = 224, nc: int = 4,
-                 n_synth: int = 64, seed: int = 0):
+                 n_synth: int = 64, seed: int = 0,
+                 noise_seed: Optional[int] = None):
         import cv2
         self.imgsz = imgsz
         self.items: List = []
@@ -39,9 +40,13 @@ class ClassificationDataset:
             self.names = {i: str(i) for i in range(nc)}
             rng = np.random.default_rng(seed)
             hues = rng.uniform(0, 255, (nc, 3))
+            # noise_seed draws a held-out split: same class hues (seed), new
+            # noise instances — a genuine val set for the synthetic task
+            nrng = (np.random.default_rng(noise_seed)
+                    if noise_seed is not None else rng)
             for i in range(n_synth):
                 ci = i % nc
-                img = np.clip(hues[ci] + rng.normal(0, 30, (imgsz, imgsz, 3)),
+                img = np.clip(hues[ci] + nrng.normal(0, 30, (imgsz, imgsz, 3)),
                               0, 255).astype(np.uint8)
                 self.items.append((img, ci))
             self._load = lambda x: x
@@ -76,8 +81,27 @@ class ClassificationTrainer(CallbackMixin):
         args = self.args
         mh = self.model_holder or ClassificationModel(args.model or "yolov8n-cls.yaml")
         self.model_holder = mh
-        ds = ClassificationDataset(args.data if args.data not in (None, "synthetic")
-                                   else None, imgsz=args.imgsz, nc=mh.nc)
+        # train/val split: folder datasets use the reference's root/train +
+        # root/val layout when present; synthetic draws a held-out noise
+        # split so best-epoch selection measures generalization, not the
+        # training images themselves
+        data = args.data if args.data not in (None, "synthetic") else None
+        if data and (Path(data) / "train").is_dir():
+            ds = ClassificationDataset(str(Path(data) / "train"),
+                                       imgsz=args.imgsz, nc=mh.nc)
+            vroot = Path(data) / "val"
+            val_ds = (ClassificationDataset(str(vroot), imgsz=args.imgsz,
+                                            nc=mh.nc)
+                      if vroot.is_dir() else ds)
+        elif data:
+            ds = ClassificationDataset(data, imgsz=args.imgsz, nc=mh.nc)
+            val_ds = ds
+        else:
+            ds = ClassificationDataset(None, imgsz=args.imgsz, nc=mh.nc,
+                                       seed=args.seed)
+            val_ds = ClassificationDataset(None, imgsz=args.imgsz, nc=mh.nc,
+                                           seed=args.seed,
+                                           noise_seed=args.seed + 9991)
         from .trainer import build_optimizer
         steps_per_epoch = max(len(ds) // args.batch, 1)
         tx = build_optimizer(
@@ -116,7 +140,7 @@ class ClassificationTrainer(CallbackMixin):
                                    ema, new_params)
             return new_params, new_bs, new_opt, new_ema, n, loss
 
-        best_top1, best_vars = -1.0, None
+        best_top1, best_vars, best_res = -1.0, None, None
         validator = ClassificationValidator(args=self.args)
         for epoch in range(args.epochs):
             losses = []
@@ -127,16 +151,16 @@ class ClassificationTrainer(CallbackMixin):
                 losses.append(float(loss))
             mh.variables = {"params": jax.device_get(ema),
                             "batch_stats": jax.device_get(batch_stats)}
-            res = validator(mh, dataset=ds)
+            res = validator(mh, dataset=val_ds)
             LOGGER.info(f"epoch {epoch + 1}/{args.epochs} "
                         f"loss {np.mean(losses):.4f} top1 {res['top1']:.3f}")
             if res["top1"] >= best_top1:
-                best_top1, best_vars = res["top1"], mh.variables
+                best_top1, best_vars, best_res = res["top1"], mh.variables, res
                 self._save_ckpt(best_vars, "best")
         self._save_ckpt(mh.variables, "last")
         if best_vars is not None:  # final weights = best, like the reference
             mh.variables = best_vars
-        res = validator(mh, dataset=ds)
+        res = dict(best_res or {"top1": 0.0, "top5": 0.0})
         res["best_top1"] = best_top1
         return res
 
@@ -157,7 +181,10 @@ class ClassificationValidator(CallbackMixin):
     def __init__(self, args=None, dataloader=None):
         self.args = args if args is not None else get_cfg()
         self.init_callbacks()
-        self._infer = None  # jit cache: stable across per-epoch calls
+        self._infer = None      # jit cache: stable across per-epoch calls
+        self._infer_mh = None   # ...but keyed to the model holder it closed
+                                # over (a different mh must rebuild, not
+                                # silently run the first model)
 
     def __call__(self, mh, dataset=None) -> Dict[str, float]:
         args = self.args
@@ -165,9 +192,10 @@ class ClassificationValidator(CallbackMixin):
             args.data if args.data not in (None, "synthetic") else None,
             imgsz=args.imgsz, nc=mh.nc)
 
-        if self._infer is None:
+        if self._infer is None or self._infer_mh is not mh:
             self._infer = jax.jit(
                 lambda vs, img: mh.model.apply(vs, img, train=False))
+            self._infer_mh = mh
 
         from .validator import sharded_val_runner
         run_infer = sharded_val_runner(self._infer, mh.variables, args.batch)

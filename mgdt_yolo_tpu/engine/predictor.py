@@ -95,27 +95,18 @@ class BasePredictor(CallbackMixin):
         # collectives) — same design as engine/validator.sharded_val_runner
         # but non-blocking, so the dispatch-overlap pipeline is preserved.
         # MGDT_PREDICT_NO_SHARD=1 restores single-device execution.
-        import os
-        ndev = jax.device_count()
-        self._mesh_ndev = 0
-        if ndev > 1 and os.environ.get("MGDT_PREDICT_NO_SHARD", "0") != "1":
-            from ..parallel.mesh import (batch_sharding, create_mesh,
-                                         replicate_tree)
-            mesh = create_mesh()
-            self.variables = replicate_tree(self.variables, mesh)
-            self._batch_sharding = batch_sharding(mesh)
-            self._mesh_ndev = ndev
+        from ..parallel.mesh import data_sharding_setup
+        self._mesh_ndev, self._batch_sharding, self.variables = \
+            data_sharding_setup(self.variables, "MGDT_PREDICT_NO_SHARD")
 
     def _to_device(self, x: np.ndarray) -> "np.ndarray":
         """Pad the batch to a mesh-divisible size and shard it (no-op on a
         single device). Extra zero-image rows may emit detections — callers
         index outputs by their real chunk length, never the padded one."""
         if self._mesh_ndev:
-            gb = -(-len(x) // self._mesh_ndev) * self._mesh_ndev
-            if gb != len(x):
-                x = np.concatenate(
-                    [x, np.zeros((gb - len(x), *x.shape[1:]), x.dtype)])
-            return jax.device_put(x, self._batch_sharding)
+            from ..parallel.mesh import pad_to_multiple
+            return jax.device_put(pad_to_multiple(x, self._mesh_ndev),
+                                  self._batch_sharding)
         return x
 
     def preprocess(self, imgs: List[np.ndarray]):

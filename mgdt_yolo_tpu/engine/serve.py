@@ -92,18 +92,12 @@ class InferenceServer:
         # rounded up to a mesh-divisible size and sharded along the batch
         # axis (params replicated) — micro-batches then spread over all
         # chips. MGDT_PREDICT_NO_SHARD=1 restores single-device execution.
-        import os
-        ndev = jax.device_count()
-        self._mesh_ndev = 0
-        self._device_batch = self.batch
-        if ndev > 1 and os.environ.get("MGDT_PREDICT_NO_SHARD", "0") != "1":
-            from ..parallel.mesh import (batch_sharding, create_mesh,
-                                         replicate_tree)
-            mesh = create_mesh()
-            self.variables = replicate_tree(self.variables, mesh)
-            self._batch_sharding = batch_sharding(mesh)
-            self._mesh_ndev = ndev
-            self._device_batch = -(-self.batch // ndev) * ndev
+        from ..parallel.mesh import data_sharding_setup
+        self._mesh_ndev, self._batch_sharding, self.variables = \
+            data_sharding_setup(self.variables, "MGDT_PREDICT_NO_SHARD")
+        self._device_batch = (-(-self.batch // self._mesh_ndev)
+                              * self._mesh_ndev if self._mesh_ndev
+                              else self.batch)
 
         self._requests: "queue.SimpleQueue" = queue.SimpleQueue()
         self._inflight: "queue.Queue" = queue.Queue(maxsize=2)
@@ -129,10 +123,15 @@ class InferenceServer:
 
     def submit(self, img_bgr: np.ndarray) -> Future:
         """Enqueue one BGR HWC uint8 image; resolves to a Results object."""
-        if not self._started:
-            raise RuntimeError("InferenceServer not started (call .start())")
-        fut: Future = Future()
-        self._requests.put((img_bgr, fut, time.monotonic()))
+        # check+put under the same lock stop() takes to flip _started:
+        # otherwise a submit can pass the check, lose the CPU while stop()
+        # drains and returns, then enqueue into a queue no worker reads.
+        with self._lock:
+            if not self._started:
+                raise RuntimeError(
+                    "InferenceServer not started (call .start())")
+            fut: Future = Future()
+            self._requests.put((img_bgr, fut, time.monotonic()))
         return fut
 
     def predict(self, img_bgr: np.ndarray) -> Results:
@@ -192,7 +191,9 @@ class InferenceServer:
                 return
             reqs = [item]
             deadline = time.monotonic() + self.max_wait_s
-            while len(reqs) < self.batch:
+            # coalesce up to the COMPILED batch (device_batch >= batch when
+            # sharded over more devices than the requested batch size)
+            while len(reqs) < self._device_batch:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break

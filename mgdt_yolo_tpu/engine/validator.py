@@ -49,23 +49,23 @@ def sharded_val_runner(infer, variables, batch_size: int):
     REAL rows (padded zero-images can still emit conf>0.001 detections, so
     they must never reach host accumulation).
     """
-    import os
-    ndev = jax.device_count()
-    if ndev <= 1 or os.environ.get("MGDT_VAL_NO_SHARD", "0") == "1":
+    from ..parallel.mesh import data_sharding_setup
+    ndev, sharding, vs = data_sharding_setup(variables, "MGDT_VAL_NO_SHARD")
+    if not ndev:
         def run(batch):
-            return jax.device_get(infer(variables, batch["img"]))
+            return jax.device_get(infer(vs, batch["img"]))
         return run
-    from ..parallel.mesh import (create_mesh, pad_batch_to, replicate_tree,
-                                 shard_batch)
-    mesh = create_mesh()
-    vs = replicate_tree(variables, mesh)
 
     def run(batch):
-        n_real = len(batch["img"])
+        x = np.asarray(batch["img"])
+        n_real = len(x)
+        # pad to >= the loader batch, rounded to the mesh (one compiled
+        # shape incl. the short final batch); labels stay host-side
         gb = -(-max(n_real, batch_size) // ndev) * ndev
-        # only the images go to device; labels/masks stay host-side
-        dev = shard_batch(pad_batch_to({"img": batch["img"]}, gb), mesh)
-        out = jax.device_get(infer(vs, dev["img"]))
+        if gb != n_real:
+            x = np.concatenate(
+                [x, np.zeros((gb - n_real, *x.shape[1:]), x.dtype)])
+        out = jax.device_get(infer(vs, jax.device_put(x, sharding)))
         return jax.tree.map(lambda a: a[:n_real], out)
     return run
 

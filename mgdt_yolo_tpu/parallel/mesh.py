@@ -63,6 +63,36 @@ def replicate_tree(tree, mesh: Mesh):
     return jax.device_put(tree, sh)
 
 
+def data_sharding_setup(variables, no_shard_env: str):
+    """Common setup for inference-side data parallelism (val / predict /
+    serve): a 1-D data mesh over the local devices with variables
+    replicated onto it.
+
+    Returns (ndev, batch_sharding, replicated_variables), or
+    (0, None, variables) when sharding is off: a single device, the
+    `no_shard_env` escape hatch set to "1", or a multi-process runtime —
+    inference loops are single-host (each process would re-iterate the full
+    source and fetching a multi-host global array raises on non-addressable
+    shards); multi-host scaling is the trainer's shard_batch path.
+    """
+    import os
+    ndev = jax.local_device_count()
+    if (ndev <= 1 or jax.process_count() > 1
+            or os.environ.get(no_shard_env, "0") == "1"):
+        return 0, None, variables
+    mesh = create_mesh()
+    return ndev, batch_sharding(mesh), replicate_tree(variables, mesh)
+
+
+def pad_to_multiple(x: np.ndarray, m: int) -> np.ndarray:
+    """Zero-pad a batch's leading dim up to the next multiple of m."""
+    x = np.asarray(x)
+    gb = -(-len(x) // m) * m
+    if gb == len(x):
+        return x
+    return np.concatenate([x, np.zeros((gb - len(x), *x.shape[1:]), x.dtype)])
+
+
 def create_mesh_2d(n_data: int, n_model: int,
                    axes=("data", "model")) -> Mesh:
     """2-D (data x model) mesh for combined DP + channel tensor-parallelism.
