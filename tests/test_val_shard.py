@@ -39,6 +39,19 @@ def test_runner_pads_to_mesh_and_slices_back():
     assert sums2.shape == (2,)
 
 
+def test_multiprocess_runtime_disables_sharding(monkeypatch):
+    """Under a multi-host runtime the inference-side mesh must stay off:
+    each process iterates the full source, and device_get on an array
+    spanning non-addressable devices raises. data_sharding_setup gates on
+    process_count (trainer-side shard_batch handles multi-host instead)."""
+    from mgdt_yolo_tpu.parallel.mesh import data_sharding_setup
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    ndev, sharding, vs = data_sharding_setup({"w": np.ones(3)},
+                                             "MGDT_VAL_NO_SHARD")
+    assert ndev == 0 and sharding is None
+    assert isinstance(vs["w"], np.ndarray)  # variables untouched
+
+
 def test_no_shard_escape_hatch(monkeypatch):
     monkeypatch.setenv("MGDT_VAL_NO_SHARD", "1")
 
