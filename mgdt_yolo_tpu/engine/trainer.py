@@ -537,12 +537,17 @@ class BaseTrainer(CallbackMixin):
     # ---- val / ckpt ------------------------------------------------------
     def validate(self, state: TrainState) -> Dict:
         from .validator import DetectionValidator
-        val_ds = self.get_dataset(train=False)
-        validator = DetectionValidator(args=self.args)
-        validator.args.save_dir = str(self.save_dir)  # val plots land with the run
+        # validator + val dataset persist across epochs: a fresh validator
+        # would re-trace the val graph (and re-scan the dataset) every epoch
+        if getattr(self, "_validator", None) is None:
+            self._val_ds = self.get_dataset(train=False)
+            self._validator = DetectionValidator(args=self.args)
+            # val plots land with the run
+            self._validator.args.save_dir = str(self.save_dir)
         variables = {"params": jax.device_get(state.ema_params),
                      "batch_stats": jax.device_get(state.batch_stats)}
-        return validator(self.model_holder, variables, dataset=val_ds)
+        return self._validator(self.model_holder, variables,
+                               dataset=self._val_ds)
 
     def _find_resume_checkpoint(self):
         """Most recent last/ checkpoint under the project dir
@@ -622,11 +627,13 @@ class SegmentationTrainer(DetectionTrainer):
 
     def validate(self, state):
         from .validator_seg_pose import SegmentationValidator
-        validator = SegmentationValidator(args=self.args)
+        if getattr(self, "_validator", None) is None:
+            self._val_ds = self.get_dataset(train=False)
+            self._validator = SegmentationValidator(args=self.args)
         variables = {"params": jax.device_get(state.ema_params),
                      "batch_stats": jax.device_get(state.batch_stats)}
-        return validator(self.model_holder, variables,
-                         dataset=self.get_dataset(train=False))
+        return self._validator(self.model_holder, variables,
+                               dataset=self._val_ds)
 
 
 class PoseTrainer(DetectionTrainer):
@@ -644,8 +651,10 @@ class PoseTrainer(DetectionTrainer):
 
     def validate(self, state):
         from .validator_seg_pose import PoseValidator
-        validator = PoseValidator(args=self.args)
+        if getattr(self, "_validator", None) is None:
+            self._val_ds = self.get_dataset(train=False)
+            self._validator = PoseValidator(args=self.args)
         variables = {"params": jax.device_get(state.ema_params),
                      "batch_stats": jax.device_get(state.batch_stats)}
-        return validator(self.model_holder, variables,
-                         dataset=self.get_dataset(train=False))
+        return self._validator(self.model_holder, variables,
+                               dataset=self._val_ds)

@@ -31,6 +31,17 @@ class BaseValidator(CallbackMixin):
         self.args = args if args is not None else get_cfg()
         self.dataloader = dataloader
         self.init_callbacks()
+        self._infer = None     # jit cache: per-epoch in-training validation
+        self._infer_mh = None  # must not re-trace/re-compile the val graph
+
+    def cached_infer(self, model_holder, build):
+        """Return the jitted val step, rebuilding only when the model holder
+        changes (a fresh closure per __call__ would miss jax's jit cache and
+        pay tracing + compile-cache lookup every epoch)."""
+        if self._infer is None or self._infer_mh is not model_holder:
+            self._infer = build()
+            self._infer_mh = model_holder
+        return self._infer
 
 
 def sharded_val_runner(infer, variables, batch_size: int):
@@ -182,24 +193,29 @@ class DetectionValidator(BaseValidator):
             rect=bool(getattr(args, "rect", False)),
             stride=int(max(model_holder.stride)))
 
-        @partial(jax.jit, static_argnames=())
-        def infer(vs, img):
-            if jnp.issubdtype(img.dtype, jnp.integer):
-                img = img.astype(jnp.float32) / 255.0
-            decoded, _ = model_holder.model.apply(vs, img, train=False)
-            # nc explicitly: segment/pose decodes append mask/kpt channels
-            # val protocol: conf 0.001 + multi_label floods candidates —
-            # use a deeper pre-NMS pool than the predict path (the reference
-            # caps at 30k, ops.py:213); 4096 is past the dense-head tail
-            # block=1024: two-stage blocked fixpoint — same output as the
-            # monolithic 4096² walk, 16× smaller peak IoU matrix
-            return non_max_suppression(decoded, conf_thres=conf, iou_thres=args.iou,
-                                       max_det=args.max_det, multi_label=True,
-                                       agnostic=args.agnostic_nms,
-                                       pre_topk=4096, block=1024,
-                                       nc=model_holder.nc)
+        def build():
+            @partial(jax.jit, static_argnames=())
+            def infer(vs, img):
+                if jnp.issubdtype(img.dtype, jnp.integer):
+                    img = img.astype(jnp.float32) / 255.0
+                decoded, _ = model_holder.model.apply(vs, img, train=False)
+                # nc explicitly: segment/pose decodes append mask/kpt channels
+                # val protocol: conf 0.001 + multi_label floods candidates —
+                # use a deeper pre-NMS pool than the predict path (reference
+                # caps at 30k, ops.py:213); 4096 is past the dense-head tail
+                # block=1024: two-stage blocked fixpoint — same output as the
+                # monolithic 4096² walk, 16× smaller peak IoU matrix
+                return non_max_suppression(decoded, conf_thres=conf,
+                                           iou_thres=args.iou,
+                                           max_det=args.max_det,
+                                           multi_label=True,
+                                           agnostic=args.agnostic_nms,
+                                           pre_topk=4096, block=1024,
+                                           nc=model_holder.nc)
+            return infer
 
-        run_infer = sharded_val_runner(infer, variables, batch_size)
+        run_infer = sharded_val_runner(self.cached_infer(model_holder, build),
+                                       variables, batch_size)
 
         metrics = DetMetrics()
         cm = ConfusionMatrix(model_holder.nc)

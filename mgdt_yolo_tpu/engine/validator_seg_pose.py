@@ -81,25 +81,29 @@ class SegmentationValidator(BaseValidator):
             dataset, args.batch, args.imgsz, train=False, seed=args.seed)
         nm = 32
 
-        @jax.jit
-        def infer(vs, img):
-            if jnp.issubdtype(img.dtype, jnp.integer):
-                img = img.astype(jnp.float32) / 255.0
-            decoded, aux = model_holder.model.apply(vs, img, train=False)
-            _, mc_flat, proto = aux
-            det, cnt, idx = non_max_suppression(decoded, conf_thres=conf,
-                                                iou_thres=args.iou,
-                                                max_det=args.max_det,
-                                                multi_label=True,
-                                                nc=model_holder.nc,
-                                                return_idx=True)
-            # exact mask coefficients for each kept detection
-            coefs = jnp.take_along_axis(mc_flat, jnp.clip(idx, 0)[..., None],
-                                        axis=1)
-            return det, cnt, coefs, proto
+        def build():
+            @jax.jit
+            def infer(vs, img):
+                if jnp.issubdtype(img.dtype, jnp.integer):
+                    img = img.astype(jnp.float32) / 255.0
+                decoded, aux = model_holder.model.apply(vs, img, train=False)
+                _, mc_flat, proto = aux
+                det, cnt, idx = non_max_suppression(decoded, conf_thres=conf,
+                                                    iou_thres=args.iou,
+                                                    max_det=args.max_det,
+                                                    multi_label=True,
+                                                    nc=model_holder.nc,
+                                                    return_idx=True)
+                # exact mask coefficients for each kept detection
+                coefs = jnp.take_along_axis(mc_flat,
+                                            jnp.clip(idx, 0)[..., None],
+                                            axis=1)
+                return det, cnt, coefs, proto
+            return infer
 
         from .validator import sharded_val_runner
-        run_infer = sharded_val_runner(infer, variables, args.batch)
+        run_infer = sharded_val_runner(self.cached_infer(model_holder, build),
+                                       variables, args.batch)
         box_m, mask_m = DetMetrics(), DetMetrics()
         n_img = 0
         for bi, batch in enumerate(loader):
@@ -168,23 +172,27 @@ class PoseValidator(DetectionValidator):
         else:
             sigmas = np.ones(kpt_shape[0]) / kpt_shape[0]
 
-        @jax.jit
-        def infer(vs, img):
-            if jnp.issubdtype(img.dtype, jnp.integer):
-                img = img.astype(jnp.float32) / 255.0
-            decoded, _ = model_holder.model.apply(vs, img, train=False)
-            det, cnt, idx = non_max_suppression(
-                decoded, conf_thres=conf, iou_thres=args.iou,
-                max_det=args.max_det, multi_label=True, nc=model_holder.nc,
-                return_idx=True)
-            kpt_tail = jnp.transpose(decoded[:, 4 + model_holder.nc:],
-                                     (0, 2, 1))  # (b, A, nk)
-            kpts = jnp.take_along_axis(kpt_tail, jnp.clip(idx, 0)[..., None],
-                                       axis=1)  # (b, max_det, nk)
-            return det, cnt, kpts
+        def build():
+            @jax.jit
+            def infer(vs, img):
+                if jnp.issubdtype(img.dtype, jnp.integer):
+                    img = img.astype(jnp.float32) / 255.0
+                decoded, _ = model_holder.model.apply(vs, img, train=False)
+                det, cnt, idx = non_max_suppression(
+                    decoded, conf_thres=conf, iou_thres=args.iou,
+                    max_det=args.max_det, multi_label=True,
+                    nc=model_holder.nc, return_idx=True)
+                kpt_tail = jnp.transpose(decoded[:, 4 + model_holder.nc:],
+                                         (0, 2, 1))  # (b, A, nk)
+                kpts = jnp.take_along_axis(kpt_tail,
+                                           jnp.clip(idx, 0)[..., None],
+                                           axis=1)  # (b, max_det, nk)
+                return det, cnt, kpts
+            return infer
 
         from .validator import sharded_val_runner
-        run_infer = sharded_val_runner(infer, variables, args.batch)
+        run_infer = sharded_val_runner(self.cached_infer(model_holder, build),
+                                       variables, args.batch)
         box_m, kpt_m = DetMetrics(), DetMetrics()
         iouv = np.linspace(0.5, 0.95, 10)
         n_img = 0
