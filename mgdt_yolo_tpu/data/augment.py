@@ -128,7 +128,12 @@ def random_perspective(img: np.ndarray, boxes_xyxy: np.ndarray, cls: np.ndarray,
         new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
         new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
         new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
-        keep = box_candidates(boxes_xyxy.T * s, new.T, area_thr=0.1)
+        # reference keeps far smaller remnants when instances carry segments
+        # (area_thr 0.01 vs 0.10, augment.py:462-464) — masks ride this
+        # pipeline, so mask-bearing calls must match that looser filter
+        keep = box_candidates(boxes_xyxy.T * s, new.T,
+                              area_thr=0.01 if (masks is not None
+                                                and len(masks)) else 0.1)
         boxes_xyxy = new[keep]
         cls = cls[keep]
         if masks is not None and len(masks):
@@ -209,18 +214,18 @@ def mosaic4(items: List[Dict], imgsz: int, rng: Optional[random.Random] = None):
     for i, item in enumerate(items[:4]):
         img = item["img"]
         h, w = img.shape[:2]
-        if i == 0:
-            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
-            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
-        elif i == 1:
-            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
-            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
-        elif i == 2:
-            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
-            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
-        else:
-            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
-            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+        # each tile anchors one corner at the mosaic center (xc, yc): left
+        # tiles keep their RIGHT edge at xc (right-aligned source crop),
+        # top tiles keep their BOTTOM edge at yc — the general rule behind
+        # the reference's four hand-unrolled quadrant cases
+        left, top = i in (0, 2), i in (0, 1)
+        x1a = max(xc - w, 0) if left else xc
+        x2a = xc if left else min(xc + w, 2 * s)
+        y1a = max(yc - h, 0) if top else yc
+        y2a = yc if top else min(yc + h, 2 * s)
+        kw, kh = x2a - x1a, y2a - y1a  # kept extent after canvas clipping
+        x1b, x2b = (w - kw, w) if left else (0, kw)
+        y1b, y2b = (h - kh, h) if top else (0, kh)
         canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
         padw, padh = x1a - x1b, y1a - y1b
         if len(item["boxes"]):

@@ -127,9 +127,19 @@ class DataLoader:
         self.seed = seed
         self.workers = max(1, workers)
         self.drop_last = train if drop_last is None else drop_last
-        # static target padding: dataset max, x4 headroom for mosaic merges
+        # static target padding: dataset max x the worst-case label merge —
+        # mosaic9 stacks 9 images' labels and mixup adds one more on top of
+        # a mosaic (reference augment.py Mosaic(n=9)/MixUp); undersizing
+        # would silently truncate ground truth in collate's min(len, max_gt)
         base = max(1, dataset.max_labels())
-        self.max_gt = max_gt or int(math.ceil((base * (4 if train else 1)) / 8) * 8)
+        merge = 1
+        if train:
+            merge = 4
+            if hyp is not None and getattr(hyp, "mosaic9", 0):
+                merge = 9
+            if hyp is not None and getattr(hyp, "mixup", 0):
+                merge += 1
+        self.max_gt = max_gt or int(math.ceil((base * merge) / 8) * 8)
         self.epoch = 0
         self._buf_lock = threading.Lock()
         self.rect = rect and not train
@@ -261,6 +271,22 @@ class DataLoader:
         idx = self._indices()
         nb = len(self)
         q: queue.Queue = queue.Queue(maxsize=4)
+        stop = threading.Event()
+
+        def q_put(item) -> bool:
+            """Bounded put: a consumer that abandons the iterator mid-epoch
+            (early stop, exception, ctrl-C) sets `stop` from the generator's
+            finally — without it the producer would block in q.put on the
+            full queue forever, pinning workers and ~queue-depth prepared
+            batches for the process lifetime."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         if self._native_eligible():
             # whole-batch native ingest; two batches in flight
             pool = ThreadPoolExecutor(max_workers=2,
@@ -282,10 +308,11 @@ class DataLoader:
                         if nxt < nb:
                             pending.append(pool.submit(nat, nxt))
                             nxt += 1
-                        q.put(batch)
-                    q.put(None)
+                        if not q_put(batch):
+                            return
+                    q_put(None)
                 except BaseException as e:
-                    q.put(e)
+                    q_put(e)
 
             t = threading.Thread(target=producer_native, daemon=True)
             t.start()
@@ -298,6 +325,7 @@ class DataLoader:
                         raise batch
                     yield batch
             finally:
+                stop.set()
                 pool.shutdown(wait=False, cancel_futures=True)
             return
         pool = ThreadPoolExecutor(max_workers=self.workers,
@@ -330,13 +358,16 @@ class DataLoader:
                     shape = (tuple(self.batch_shapes[done])
                              if self.batch_shapes is not None else self.imgsz)
                     if self.device_augment:
-                        q.put(collate_raw(items, self.imgsz, self.max_gt))
+                        ok = q_put(collate_raw(items, self.imgsz, self.max_gt))
                     else:
-                        q.put(collate(items, shape, self.max_gt, self.train))
+                        ok = q_put(collate(items, shape, self.max_gt,
+                                           self.train))
+                    if not ok:
+                        return
                     done += 1
-                q.put(None)
+                q_put(None)
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                q_put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -349,6 +380,7 @@ class DataLoader:
                     raise batch
                 yield batch
         finally:
+            stop.set()
             pool.shutdown(wait=False, cancel_futures=True)
 
 

@@ -22,12 +22,11 @@ import numpy as np
 
 from ..utils import LOGGER
 
-IMG_FORMATS = {"bmp", "jpeg", "jpg", "png", "tif", "tiff", "webp"}
+from .utils import IMG_FORMATS  # canonical set lives in data/utils.py
 
 
 def img2label_path(img_path: str) -> str:
     """images/xxx.jpg -> labels/xxx.txt (reference yolo/data/utils.py:14-18)."""
-    sa, sb = f"{Path(img_path).parent.parent}/images/", f"{Path(img_path).parent.parent}/labels/"
     p = str(img_path)
     if "/images/" in p:
         return p.rsplit("/images/", 1)[0] + "/labels/" + p.rsplit("/images/", 1)[1].rsplit(".", 1)[0] + ".txt"
@@ -113,7 +112,9 @@ class YOLODataset:
             img = self._ram[i]
         elif self.cache == "disk":
             # decoded-image .npy sidecar (reference base.py:195-201): decode
-            # once, mmap-load after — trades disk for JPEG-decode CPU
+            # once, plain np.load after (full read, NOT mmap — downstream
+            # letterbox/HSV want a writable contiguous array anyway); trades
+            # disk for JPEG-decode CPU
             npy = Path(self.im_files[i]).with_suffix(".npy")
             if npy.is_file():
                 img = np.load(str(npy))

@@ -14,8 +14,8 @@ import cv2
 import numpy as np
 
 from ..utils import LOGGER
+from .utils import IMG_FORMATS  # canonical set lives in data/utils.py
 
-IMG_FORMATS = {"bmp", "jpeg", "jpg", "png", "tif", "tiff", "webp"}
 VID_FORMATS = {"asf", "avi", "gif", "m4v", "mkv", "mov", "mp4", "mpeg", "mpg",
                "ts", "wmv", "webm"}
 

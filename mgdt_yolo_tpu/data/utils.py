@@ -17,6 +17,8 @@ import numpy as np
 
 from ..utils import LOGGER, yaml_load
 
+# canonical image-extension set — dataset.py and loaders.py import this so
+# dataset scanning, label verification, and source sniffing cannot drift
 IMG_FORMATS = {"bmp", "jpeg", "jpg", "png", "tif", "tiff", "webp"}
 CACHE_VERSION = "mgdt-tpu-1.0"
 

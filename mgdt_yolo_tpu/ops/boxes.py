@@ -139,8 +139,12 @@ def scale_boxes(img1_shape, boxes, img0_shape, ratio_pad=None):
     """
     if ratio_pad is None:
         gain = min(img1_shape[0] / img0_shape[0], img1_shape[1] / img0_shape[1])
-        pad = ((img1_shape[1] - img0_shape[1] * gain) / 2,
-               (img1_shape[0] - img0_shape[0] * gain) / 2)
+        # the reference rounds the computed padding DOWN by 0.1 before
+        # rounding (ops.py:108-109) — integer-pixel pads with ties toward
+        # zero; keeping the fraction shifts every box by up to 0.5 px and
+        # flips TP/FP matches at high IoU thresholds
+        pad = (round((img1_shape[1] - img0_shape[1] * gain) / 2 - 0.1),
+               round((img1_shape[0] - img0_shape[0] * gain) / 2 - 0.1))
     else:
         gain, pad = ratio_pad[0][0], ratio_pad[1]
     if isinstance(boxes, np.ndarray):
@@ -152,5 +156,8 @@ def scale_boxes(img1_shape, boxes, img0_shape, ratio_pad=None):
         boxes[..., [1, 3]] = boxes[..., [1, 3]].clip(0, img0_shape[0])
         return boxes
     shift = jnp.asarray([pad[0], pad[1], pad[0], pad[1]], dtype=boxes.dtype)
-    boxes = (boxes[..., :4] - shift) / gain
-    return clip_boxes(boxes, img0_shape)
+    out = (boxes[..., :4] - shift) / gain
+    out = clip_boxes(out, img0_shape)
+    if boxes.shape[-1] > 4:  # preserve conf/cls columns like the np branch
+        out = jnp.concatenate([out, boxes[..., 4:]], axis=-1)
+    return out

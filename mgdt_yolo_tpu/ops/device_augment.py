@@ -137,6 +137,19 @@ def device_augment(batch: Dict[str, jnp.ndarray], key: jnp.ndarray,
     m_labels = jnp.where(use_mosaic[:, None], m_labels, solo_labels)
     m_mask = jnp.where(use_mosaic[:, None], m_mask, solo_mask)
 
+    # reference-canvas crop: the reference composes on a 2s canvas, so
+    # content outside [0, 2s) (here [off, off+2s) after the origin shift)
+    # does not exist — warpAffine samples 114 there and _cat_labels clips
+    # mosaic boxes to [0, 2s]. Tiles pasted whole on the 3s canvas can
+    # leave real pixels (and box extents) in that band; mask them to FILL
+    # and clip the boxes so the warp and the w_before keep-filter term
+    # match the reference exactly.
+    pos = jnp.arange(3 * s)
+    in_ref = (pos >= s // 2) & (pos < s // 2 + 2 * s)  # canvas origin = s//2
+    canvas = jnp.where((in_ref[:, None] & in_ref[None, :])[None, :, :, None],
+                       canvas, jnp.uint8(FILL))
+    m_boxes = m_boxes.clip(0.0, 2.0 * s)  # reference-coord clip pre-warp
+
     # ---- separable scale+translate warp (MXU matmuls) ----
     # reference mapping (augment.py:289-476 with degrees=shear=persp=0,
     # border=-s/2): dst = sf * (src - s) + t, t ~ U(0.5-tr, 0.5+tr) * s

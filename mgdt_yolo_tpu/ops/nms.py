@@ -23,6 +23,33 @@ from .boxes import xywh2xyxy
 MAX_WH = 7680.0  # class-offset magnitude, same constant as the reference
 
 
+def _candidates(boxes, scores, conf_thres, pre_topk, multi_label, agnostic):
+    """Shared pre-NMS candidate extraction for both NMS formulations:
+    confidence-thresholded top-k over (anchor, class) pairs (multi_label)
+    or per-anchor best class, plus the class offset that keeps cross-class
+    overlaps from suppressing each other. Returns
+    (cand_boxes, conf, cls, valid, offset_boxes, anchor_idx, k)."""
+    A, nc = scores.shape
+    if multi_label and nc > 1:
+        flat = scores.reshape(-1)  # (A*nc,) candidate per (anchor, class)
+        k = min(pre_topk, A * nc)
+        conf, idx = jax.lax.top_k(jnp.where(flat > conf_thres, flat, -1.0), k)
+        anchor_idx = idx // nc
+        cls = (idx % nc).astype(jnp.float32)
+    else:
+        conf_all = scores.max(axis=-1)
+        cls_all = scores.argmax(axis=-1).astype(jnp.float32)
+        k = min(pre_topk, A)
+        conf, anchor_idx = jax.lax.top_k(
+            jnp.where(conf_all > conf_thres, conf_all, -1.0), k)
+        cls = cls_all[anchor_idx]
+    cand_boxes = boxes[anchor_idx]  # (K, 4)
+    valid = conf > 0.0
+    offset = jnp.zeros_like(cls) if agnostic else cls * MAX_WH
+    return (cand_boxes, conf, cls, valid, cand_boxes + offset[:, None],
+            anchor_idx, k)
+
+
 @partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk",
                                    "multi_label", "agnostic"))
 def nms_single(boxes: jnp.ndarray, scores: jnp.ndarray, conf_thres: float = 0.25,
@@ -37,25 +64,8 @@ def nms_single(boxes: jnp.ndarray, scores: jnp.ndarray, conf_thres: float = 0.25
         det: (max_det, 6) [x1, y1, x2, y2, conf, cls], zero-padded.
         n: () int32 number of valid detections.
     """
-    A, nc = scores.shape
-    if multi_label and nc > 1:
-        flat = scores.reshape(-1)  # (A*nc,) candidate per (anchor, class) pair
-        k = min(pre_topk, A * nc)
-        conf, idx = jax.lax.top_k(jnp.where(flat > conf_thres, flat, -1.0), k)
-        anchor_idx = idx // nc
-        cls = (idx % nc).astype(jnp.float32)
-    else:
-        conf_all = scores.max(axis=-1)
-        cls_all = scores.argmax(axis=-1).astype(jnp.float32)
-        k = min(pre_topk, A)
-        conf, anchor_idx = jax.lax.top_k(jnp.where(conf_all > conf_thres, conf_all, -1.0), k)
-        cls = cls_all[anchor_idx]
-    cand_boxes = boxes[anchor_idx]  # (K, 4)
-    valid = conf > 0.0
-
-    # class offset so cross-class overlaps never suppress each other
-    offset = jnp.zeros_like(cls) if agnostic else cls * MAX_WH
-    off_boxes = cand_boxes + offset[:, None]
+    cand_boxes, conf, cls, valid, off_boxes, _, k = _candidates(
+        boxes, scores, conf_thres, pre_topk, multi_label, agnostic)
 
     x1, y1, x2, y2 = off_boxes[:, 0], off_boxes[:, 1], off_boxes[:, 2], off_boxes[:, 3]
     areas = (x2 - x1) * (y2 - y1)
@@ -173,24 +183,8 @@ def nms_single_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
     deep candidate pools — same output, K²→block-sized matrices; used by
     the val protocol's pre_topk=4096 pool.
     """
-    A, nc = scores.shape
-    if multi_label and nc > 1:
-        flat = scores.reshape(-1)
-        k = min(pre_topk, A * nc)
-        conf, idx = jax.lax.top_k(jnp.where(flat > conf_thres, flat, -1.0), k)
-        anchor_idx = idx // nc
-        cls = (idx % nc).astype(jnp.float32)
-    else:
-        conf_all = scores.max(axis=-1)
-        cls_all = scores.argmax(axis=-1).astype(jnp.float32)
-        k = min(pre_topk, A)
-        conf, anchor_idx = jax.lax.top_k(jnp.where(conf_all > conf_thres, conf_all, -1.0), k)
-        cls = cls_all[anchor_idx]
-    cand_boxes = boxes[anchor_idx]
-    valid = conf > 0.0
-
-    offset = jnp.zeros_like(cls) if agnostic else cls * MAX_WH
-    ob = cand_boxes + offset[:, None]
+    cand_boxes, conf, cls, valid, ob, anchor_idx, k = _candidates(
+        boxes, scores, conf_thres, pre_topk, multi_label, agnostic)
     if block and k > block:
         keep = _blocked_keep(ob, conf, valid, iou_thres, block, max_det)
     else:

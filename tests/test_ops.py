@@ -308,3 +308,41 @@ class TestBlockedNMS:
         db, nb_, _ = ops.nms_single_fixpoint(boxes, scores, block=1024, **kw)
         assert int(na) == int(nb_)
         np.testing.assert_allclose(np.asarray(db), np.asarray(da), atol=1e-5)
+
+
+class TestScaleBoxesPadRounding:
+    """ratio_pad=None branch must use the reference's round(pad - 0.1)
+    integer padding (reference yolo/utils/ops.py:106-110) — keeping the
+    fractional pad shifts every box by up to 0.5 px and flips TP/FP matches
+    at high IoU thresholds."""
+
+    def test_matches_reference_formula(self):
+        import numpy as np
+
+        from mgdt_yolo_tpu.ops.boxes import scale_boxes
+        img1, img0 = (640, 640), (427, 640)  # gain 1.0, pad_y = 106.5
+        det = np.array([[100.0, 150.0, 200.0, 250.0, 0.9, 1.0]])
+        out = scale_boxes(img1, det.copy(), img0)
+        gain = min(img1[0] / img0[0], img1[1] / img0[1])
+        pad = (round((img1[1] - img0[1] * gain) / 2 - 0.1),
+               round((img1[0] - img0[0] * gain) / 2 - 0.1))
+        assert pad == (0, 106)  # round(106.4) = 106, not 106.5
+        exp = det.copy()
+        exp[:, [0, 2]] -= pad[0]
+        exp[:, [1, 3]] -= pad[1]
+        exp[:, :4] /= gain
+        np.testing.assert_allclose(out[:, :4], exp[:, :4])
+        np.testing.assert_allclose(out[:, 4:], det[:, 4:])  # cols preserved
+
+    def test_jnp_branch_preserves_extra_columns(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mgdt_yolo_tpu.ops.boxes import scale_boxes
+        det = jnp.asarray([[100.0, 150.0, 200.0, 250.0, 0.9, 1.0]])
+        out = np.asarray(scale_boxes((640, 640), det, (427, 640)))
+        ref = scale_boxes((640, 640),
+                          np.asarray([[100.0, 150.0, 200.0, 250.0, 0.9, 1.0]]),
+                          (427, 640))
+        assert out.shape == (1, 6)
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
