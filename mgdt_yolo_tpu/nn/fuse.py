@@ -51,6 +51,15 @@ def fuse_conv_bn(variables: Dict) -> Tuple[Dict, int]:
                 var = np.asarray(bn_s["var"], np.float32)
                 g = scale / np.sqrt(var + _BN_EPS)
                 val["conv"]["kernel"] = kernel * g  # broadcast over out-chan
+                # Conv2: BN normalizes conv(x) + cv2(x), so the parallel
+                # bias-free 1x1 branch (a raw kernel with no norm of its
+                # own) must absorb the same gain or fused output is off by
+                # cv2(x) * (1 - g)
+                if ("cv2" in val and isinstance(val["cv2"], dict)
+                        and "kernel" in val["cv2"]
+                        and "norm" not in val["cv2"]):
+                    val["cv2"]["kernel"] = np.asarray(
+                        val["cv2"]["kernel"], np.float32) * g
                 bn_p["scale"] = np.ones_like(scale)
                 bn_p["bias"] = bias - mean * g
                 bn_s["mean"] = np.zeros_like(mean)

@@ -39,8 +39,8 @@ class Bottleneck(nn.Module):
     c2: int
     shortcut: bool = True
     g: int = 1
-    k: Tuple[int, int] = (3, 3)
-    e: float = 0.5
+    k: Tuple[Any, Any] = (3, 3)  # each entry int or (kh, kw) — C3x passes
+    e: float = 0.5               # the cross kernels ((1, 3), (3, 1))
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -125,7 +125,7 @@ class C3(nn.Module):
         b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
         for i in range(self.n):
             a = Bottleneck(c_, self.shortcut, self.g,
-                           k=(self.k[0][0], self.k[1][0]), e=1.0,
+                           k=self.k, e=1.0,  # C3x: cross (1,3)/(3,1) kernels
                            dtype=self.dtype, name=f"m_{i}")(a, train)
         return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(
             jnp.concatenate([a, b], axis=-1), train)

@@ -91,7 +91,7 @@ class BN(nn.Module):
 class Conv(nn.Module):
     """conv2d (no bias) + BatchNorm + activation. Reference conv.py:25-44."""
     c2: int
-    k: int = 1
+    k: Union[int, Tuple[int, int]] = 1
     s: int = 1
     p: Optional[int] = None
     g: int = 1
@@ -101,9 +101,14 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pad = autopad(self.k, self.p, self.d)
-        y = nn.Conv(self.c2, (self.k, self.k), strides=self.s,
-                    padding=[(pad, pad), (pad, pad)],
+        # rectangular kernels: C3x's cross-convs use (1, 3) / (3, 1)
+        # (reference autopad handles list k, conv.py:16-22)
+        kh, kw = ((self.k, self.k) if isinstance(self.k, int)
+                  else tuple(self.k))
+        ph = autopad(kh, self.p, self.d)
+        pw = autopad(kw, self.p, self.d)
+        y = nn.Conv(self.c2, (kh, kw), strides=self.s,
+                    padding=[(ph, ph), (pw, pw)],
                     feature_group_count=self.g,
                     kernel_dilation=self.d, use_bias=False,
                     kernel_init=torch_conv_init,

@@ -105,9 +105,13 @@ class AIFI(nn.Module):
         out_h = grid_h.flatten()[:, None] @ omega[None]
         emb = np.concatenate([np.sin(out_w), np.cos(out_w),
                               np.sin(out_h), np.cos(out_h)], axis=1)
-        # reference flattens W-major (grid made with indexing='ij' over (w, h));
-        # our NHWC flatten is H-major, so re-order rows accordingly
-        emb = emb.reshape(w, h, dim).transpose(1, 0, 2).reshape(h * w, dim)
+        # PRESERVED QUIRK: the reference builds these rows W-major
+        # (meshgrid indexing='ij' over (w, h)) yet adds them to tokens
+        # flattened H-major by x.flatten(2) — i.e. the embedding arrives
+        # transposed (transformer.py:75-97). Our NHWC reshape flattens
+        # H-major exactly like torch's flatten(2), so bit-parity (and torch
+        # rtdetr-l/x checkpoint behavior) requires applying the rows
+        # UNREORDERED, reproducing the reference's mismatch.
         return jnp.asarray(emb)[None]
 
 

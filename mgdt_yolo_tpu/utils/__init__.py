@@ -150,9 +150,11 @@ def get_settings(file=None, version: str = "0.0.3") -> dict:
         yaml_save(file, defaults)
         return defaults
     settings = yaml_load(file)
+    # type-check BY KEY: zipping .values() pairs positionally, so a
+    # hand-edited file with reordered keys would spuriously reset
     correct = (settings and settings.keys() == defaults.keys()
-               and all(type(a) is type(b) for a, b in
-                       zip(settings.values(), defaults.values())))
+               and all(type(settings[k]) is type(defaults[k])
+                       for k in defaults))
     if not correct:
         LOGGER.warning(f"settings reset to defaults — view/update with "
                        f"'yolo settings' or at '{file}'")

@@ -154,24 +154,37 @@ class Instances:
         if self.segments.size:
             self.segments[..., 0] = self.segments[..., 0].clip(0, w)
             self.segments[..., 1] = self.segments[..., 1].clip(0, h)
+        if self.keypoints is not None:  # reference instance.py:316-328
+            self.keypoints[..., 0] = self.keypoints[..., 0].clip(0, w)
+            self.keypoints[..., 1] = self.keypoints[..., 1].clip(0, h)
         return self
 
     def flipud(self, h: int):
+        """Flip boxes AND segments/keypoints (reference instance.py:290-302)."""
         fmt = self._bboxes.format
         self.convert_bbox("xyxy")
         y1 = self._bboxes.bboxes[:, 1].copy()
         self._bboxes.bboxes[:, 1] = h - self._bboxes.bboxes[:, 3]
         self._bboxes.bboxes[:, 3] = h - y1
         self.convert_bbox(fmt)
+        if self.segments.size:
+            self.segments[..., 1] = h - self.segments[..., 1]
+        if self.keypoints is not None:
+            self.keypoints[..., 1] = h - self.keypoints[..., 1]
         return self
 
     def fliplr(self, w: int):
+        """Flip boxes AND segments/keypoints (reference instance.py:304-314)."""
         fmt = self._bboxes.format
         self.convert_bbox("xyxy")
         x1 = self._bboxes.bboxes[:, 0].copy()
         self._bboxes.bboxes[:, 0] = w - self._bboxes.bboxes[:, 2]
         self._bboxes.bboxes[:, 2] = w - x1
         self.convert_bbox(fmt)
+        if self.segments.size:
+            self.segments[..., 0] = w - self.segments[..., 0]
+        if self.keypoints is not None:
+            self.keypoints[..., 0] = w - self.keypoints[..., 0]
         return self
 
     def remove_zero_area_boxes(self) -> np.ndarray:

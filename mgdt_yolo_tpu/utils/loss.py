@@ -87,6 +87,19 @@ class DetectionLoss:
                 mask_gt (b, G) bool.
             step: int32 scalar — global batch counter for the alpha anneal.
         """
+        c = self.detection_core(feats, batch, step)
+        bg, cg, dg = self.gains
+        parts = jnp.stack([c["loss_box"] * bg, c["loss_cls"] * cg,
+                           c["loss_dfl"] * dg])
+        return LossOutputs(parts.sum() * c["b"], jax.lax.stop_gradient(parts))
+
+    def detection_core(self, feats, batch: Dict, step) -> Dict:
+        """Flatten -> decode -> assign -> cls/box/dfl: the detection core.
+
+        Shared by SegmentationLoss and PoseLoss exactly as the reference's
+        v8SegmentationLoss/v8PoseLoss reuse v8DetectionLoss's body
+        (loss.py:143-209) — one implementation, not three copies that can
+        drift. Returns every intermediate the task losses build on."""
         b = feats[0].shape[0]
         flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1)
         pred_distri = flat[..., :self.reg_max * 4]     # (b, A, 4*reg_max)
@@ -129,9 +142,13 @@ class DetectionLoss:
         else:
             loss_dfl = jnp.zeros(())
 
-        bg, cg, dg = self.gains
-        parts = jnp.stack([loss_box * bg, loss_cls * cg, loss_dfl * dg])
-        return LossOutputs(parts.sum() * b, jax.lax.stop_gradient(parts))
+        return {"b": b, "shapes": shapes, "anchor_points": anchor_points,
+                "stride_tensor": stride_tensor, "pred_scores": pred_scores,
+                "pred_distri": pred_distri, "pred_bboxes": pred_bboxes,
+                "assign": assign, "tss": target_scores_sum, "fg": fg,
+                "target_bboxes": target_bboxes, "weight": weight,
+                "loss_cls": loss_cls, "loss_box": loss_box,
+                "loss_dfl": loss_dfl}
 
     def _bbox_decode(self, anchor_points, pred_distri):
         """DFL expectation -> xyxy boxes in grid units (reference loss.py:150-157)."""

@@ -17,9 +17,9 @@ from typing import Dict, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..ops.boxes import make_anchors, xyxy2xywh
+from ..ops.boxes import xyxy2xywh
+from . import LOGGER
 from .loss import DetectionLoss, LossOutputs, _bce_logits
-from .tal import heuristic_assign_v1
 
 
 class SegmentationLoss(DetectionLoss):
@@ -36,48 +36,31 @@ class SegmentationLoss(DetectionLoss):
 
     def __call__(self, head_out, batch: Dict, step) -> LossOutputs:
         feats, mask_coefs, proto = head_out
-        b = feats[0].shape[0]
-        flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1)
-        pred_distri = flat[..., :self.reg_max * 4]
-        pred_scores = flat[..., self.reg_max * 4:]
-        shapes = [f.shape[1:3] for f in feats]
-        anchor_points, stride_tensor = make_anchors(shapes, self.strides, 0.5)
-        pred_bboxes = self._bbox_decode(anchor_points, pred_distri)
-
-        gt_labels = batch["gt_labels"]
-        gt_bboxes = batch["gt_bboxes"].astype(jnp.float32)
-        mask_gt = batch["mask_gt"]
-        assign = heuristic_assign_v1(
-            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores.astype(jnp.float32))),
-            jax.lax.stop_gradient(pred_bboxes * stride_tensor),
-            anchor_points * stride_tensor, gt_labels, gt_bboxes, mask_gt,
-            step, num_classes=self.nc, epoch_num=self.epoch_num,
-            topk=self.tal_topk, beta=self.tal_beta)
-
-        tss = jnp.maximum(assign.target_scores.sum(), 1.0)
-        fg = assign.fg_mask
-        loss_cls = _bce_logits(pred_scores, assign.target_scores).sum() / tss
-        target_bboxes = assign.target_bboxes / stride_tensor
-        weight = assign.target_scores.sum(-1) * fg
-        from ..ops.boxes import bbox2dist, bbox_iou
-        iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True).squeeze(-1)
-        loss_box = ((1.0 - iou) * weight).sum() / tss
-        from .loss import _df_loss
-        target_ltrb = bbox2dist(anchor_points, target_bboxes, self.reg_max - 1)
-        dist = pred_distri.reshape(b, -1, 4, self.reg_max)
-        loss_dfl = (_df_loss(dist, target_ltrb) * weight).sum() / tss
+        c = self.detection_core(feats, batch, step)
+        b, shapes = c["b"], c["shapes"]
+        assign, fg, weight = c["assign"], c["fg"], c["weight"]
+        loss_cls, loss_box, loss_dfl = (c["loss_cls"], c["loss_box"],
+                                        c["loss_dfl"])
 
         # ---- mask loss (reference loss.py:272-300) ----
         # A full (b, A, mh, mw) per-anchor mask tensor is memory-prohibitive
-        # (8400 anchors x 160^2); instead take the top-K foreground anchors by
-        # assignment weight (K=64 covers every realistic positive count) and
-        # compute crop-BCE only for those — identical loss whenever the image
-        # has <= K positives.
-        K = 64
-        mh, mw = proto.shape[1:3]
+        # (8400 anchors x 160^2); instead take the top-K foreground anchors
+        # and compute crop-BCE only for those. fg anchors per image are
+        # bounded by TAL's topk(10) x n_gt, so K = 10*max_gt is exact;
+        # capped at 256 for the (b, K, mh, mw) intermediate — beyond-cap
+        # truncation is logged once at trace time, never silent.
         masks = batch["masks"].astype(jnp.float32)  # (b, G, mh, mw)
-        sel_w, sel_idx = jax.lax.top_k(jnp.where(fg, weight, -1.0), K)  # (b, K)
-        sel_fg = sel_w > 0
+        K = min(10 * masks.shape[1], 256)
+        if 10 * masks.shape[1] > 256:
+            LOGGER.warning(
+                f"seg mask loss caps at 256 fg anchors/image "
+                f"(max_gt={masks.shape[1]}): extreme-density images truncate")
+        mh, mw = proto.shape[1:3]
+        # +1 sentinel: select by FG membership, not weight — an fg anchor
+        # whose target-score weight underflows to exactly 0 still belongs in
+        # the reference's per-image mean (loss.py:272-284)
+        sel_v, sel_idx = jax.lax.top_k(jnp.where(fg, weight + 1.0, -1.0), K)
+        sel_fg = sel_v > 0.0
         coefs = jnp.take_along_axis(mask_coefs, sel_idx[..., None], axis=1)  # (b,K,nm)
         sel_gt = jnp.take_along_axis(assign.target_gt_idx, sel_idx, axis=1)  # (b,K)
         tgt_m = jnp.take_along_axis(masks, sel_gt[:, :, None, None], axis=1)  # (b,K,mh,mw)
@@ -136,35 +119,12 @@ class PoseLoss(DetectionLoss):
 
     def __call__(self, head_out, batch: Dict, step) -> LossOutputs:
         feats, kpt_flat = head_out
-        b = feats[0].shape[0]
-        flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1)
-        pred_distri = flat[..., :self.reg_max * 4]
-        pred_scores = flat[..., self.reg_max * 4:]
-        shapes = [f.shape[1:3] for f in feats]
-        anchor_points, stride_tensor = make_anchors(shapes, self.strides, 0.5)
-        pred_bboxes = self._bbox_decode(anchor_points, pred_distri)
-
-        gt_labels = batch["gt_labels"]
-        gt_bboxes = batch["gt_bboxes"].astype(jnp.float32)
-        mask_gt = batch["mask_gt"]
-        assign = heuristic_assign_v1(
-            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores.astype(jnp.float32))),
-            jax.lax.stop_gradient(pred_bboxes * stride_tensor),
-            anchor_points * stride_tensor, gt_labels, gt_bboxes, mask_gt,
-            step, num_classes=self.nc, epoch_num=self.epoch_num,
-            topk=self.tal_topk, beta=self.tal_beta)
-        tss = jnp.maximum(assign.target_scores.sum(), 1.0)
-        fg = assign.fg_mask
-        loss_cls = _bce_logits(pred_scores, assign.target_scores).sum() / tss
-        target_bboxes = assign.target_bboxes / stride_tensor
-        weight = assign.target_scores.sum(-1) * fg
-        from ..ops.boxes import bbox2dist, bbox_iou
-        iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True).squeeze(-1)
-        loss_box = ((1.0 - iou) * weight).sum() / tss
-        from .loss import _df_loss
-        target_ltrb = bbox2dist(anchor_points, target_bboxes, self.reg_max - 1)
-        dist = pred_distri.reshape(b, -1, 4, self.reg_max)
-        loss_dfl = (_df_loss(dist, target_ltrb) * weight).sum() / tss
+        c = self.detection_core(feats, batch, step)
+        b = c["b"]
+        anchor_points, stride_tensor = c["anchor_points"], c["stride_tensor"]
+        assign, fg, target_bboxes = c["assign"], c["fg"], c["target_bboxes"]
+        loss_cls, loss_box, loss_dfl = (c["loss_cls"], c["loss_box"],
+                                        c["loss_dfl"])
 
         # ---- keypoint losses (reference loss.py:307-392) ----
         nk, kdim = self.kpt_shape

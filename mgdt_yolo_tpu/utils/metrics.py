@@ -64,6 +64,14 @@ def compute_ap(recall: np.ndarray, precision: np.ndarray) -> Tuple[float, np.nda
     return ap, mpre, mrec
 
 
+def _smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
+    """Box filter of fraction f (reference metrics.py:319-324)."""
+    nf = round(len(y) * f * 2) // 2 + 1  # odd filter width
+    p = np.ones(nf // 2)
+    yp = np.concatenate((p * y[0], y, p * y[-1]), 0)
+    return np.convolve(yp, np.ones(nf) / nf, mode="valid")
+
+
 def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
                  target_cls: np.ndarray, eps: float = 1e-16) -> Dict[str, np.ndarray]:
     """Per-class precision/recall/AP (reference metrics.py:410-498).
@@ -79,9 +87,9 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
     nc = len(classes)
     n_thr = tp.shape[1] if tp.ndim > 1 else 1
     ap = np.zeros((nc, n_thr))
-    p = np.zeros(nc)
-    r = np.zeros(nc)
     px = np.linspace(0, 1, 1000)
+    p_curves = np.zeros((nc, len(px)))
+    r_curves = np.zeros((nc, len(px)))
     for ci, c in enumerate(classes):
         sel = pred_cls == c
         n_l = nt[ci]
@@ -92,17 +100,17 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
         tpc = tp[sel].cumsum(0)
         recall = tpc / (n_l + eps)
         precision = tpc / (tpc + fpc)
-        # P/R at the conf producing max F1 — reference reads the interpolated
-        # curves at that point; we use the same convention
-        prec_curve = np.interp(-px, -conf[sel], precision[:, 0], left=1)
-        rec_curve = np.interp(-px, -conf[sel], recall[:, 0], left=0)
-        f1_curve = 2 * prec_curve * rec_curve / (prec_curve + rec_curve + eps)
-        i = f1_curve.argmax()
-        p[ci], r[ci] = prec_curve[i], rec_curve[i]
+        p_curves[ci] = np.interp(-px, -conf[sel], precision[:, 0], left=1)
+        r_curves[ci] = np.interp(-px, -conf[sel], recall[:, 0], left=0)
         for t in range(n_thr):
             ap[ci, t], _, _ = compute_ap(recall[:, t], precision[:, t])
-    return {"classes": classes.astype(int), "precision": p, "recall": r, "ap": ap,
-            "nt": nt}
+    # P/R read at ONE confidence for all classes: the argmax of the
+    # box-smoothed mean-F1 curve (reference metrics.py:319-324, 493-494) —
+    # per-class unsmoothed argmaxes would not be comparable to the reference
+    f1_curves = 2 * p_curves * r_curves / (p_curves + r_curves + eps)
+    i = _smooth(f1_curves.mean(0), 0.1).argmax()
+    return {"classes": classes.astype(int), "precision": p_curves[:, i],
+            "recall": r_curves[:, i], "ap": ap, "nt": nt}
 
 
 class DetMetrics:

@@ -87,7 +87,10 @@ def profile_layers(model_holder, imgsz: int = 256, runs: int = 10):
         sub = GraphModel(specs[:upto], model_holder.save,
                          strides=model_holder.stride, dtype=model_holder.dtype)
         try:
-            fn = jax.jit(lambda vs, xx: sub.apply(vs, xx, train=True))
+            # train=True puts BN in update mode: batch_stats must be mutable
+            # or flax raises and every probe would read NaN
+            fn = jax.jit(lambda vs, xx: sub.apply(
+                vs, xx, train=True, mutable=["batch_stats"]))
             out = fn(model_holder.variables, x)
             jax.block_until_ready(out)
             t0 = time.perf_counter()

@@ -31,3 +31,30 @@ class TestFuse:
         after, _ = mh.predict(x)
         np.testing.assert_allclose(np.asarray(after), np.asarray(before),
                                    atol=2e-4)
+
+    def test_conv2_parallel_branch_folded(self, rng):
+        """Conv2's BN normalizes conv(x) + cv2(x): the fold must scale BOTH
+        kernels by the BN gain, or fused output drifts by cv2(x)*(1-g)."""
+        import jax
+
+        from mgdt_yolo_tpu.nn import modules as M
+        mod = M.Conv2(8, 3, 1)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 16, 16, 4)).astype(np.float32))
+        variables = mod.init(jax.random.PRNGKey(0), x, train=False)
+        variables = {
+            "params": dict(variables["params"]),
+            "batch_stats": jax.tree.map(
+                lambda a: np.asarray(a)
+                + rng.uniform(0.2, 0.8, np.shape(a)).astype(np.float32),
+                dict(variables["batch_stats"]))}
+        # wrap one level so the walker sees {block: {conv, cv2, norm}}
+        wrapped = {"params": {"m": variables["params"]},
+                   "batch_stats": {"m": variables["batch_stats"]}}
+        fused, n = fuse_conv_bn(wrapped)
+        assert n == 1
+        before = mod.apply(variables, x, train=False)
+        after = mod.apply({"params": fused["params"]["m"],
+                           "batch_stats": fused["batch_stats"]["m"]},
+                          x, train=False)
+        np.testing.assert_allclose(np.asarray(after), np.asarray(before),
+                                   atol=1e-5)

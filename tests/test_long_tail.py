@@ -46,6 +46,46 @@ class TestModuleParity:
         torch.manual_seed(0)
         _golden(M.C3TR(8, n=1), TC3TR(8, 8, n=1), c1=8, atol=1e-3)
 
+    def test_c3x_cross_convs(self):
+        """C3x must build the CROSS 1x3/3x1 convolutions (reference
+        block.py:450-457 k=((1,3),(3,1))), not square 1x1/3x3 — the golden
+        import fails on kernel shapes if the kernels are square."""
+        import_reference()
+        from ultralytics.nn.modules.block import C3x as TC3x
+        torch.manual_seed(0)
+        _golden(M.C3x(8, n=2), TC3x(8, 8, n=2), c1=8, atol=1e-3)
+
+    def test_aifi_preserves_transposed_pos_embed_quirk(self):
+        """The reference builds its 2D sincos rows W-major but adds them to
+        H-major-flattened tokens (transformer.py:75-97) — the embedding is
+        effectively transposed. Parity requires reproducing that, so this
+        uses a NON-square map where any reordering of the rows diverges."""
+        import_reference()
+        from ultralytics.nn.modules.transformer import AIFI as TAIFI
+        torch.manual_seed(0)
+        tm = TAIFI(32, 64, 8)
+        tm.eval()
+        # torch AIFI subclasses TransformerEncoderLayer (attrs at top level);
+        # our flax module nests the layer under name='enc'
+        sd = {f"enc.{k}": v.detach().numpy()
+              for k, v in tm.state_dict().items()}
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-1, 1, (1, 32, 8, 4)).astype(np.float32)  # H=8, W=4
+        xn = jnp.asarray(x.transpose(0, 2, 3, 1))
+        from mgdt_yolo_tpu.nn.modules.transformer import AIFI
+        fm = AIFI(32, 64, 8)
+        variables = fm.init(jax.random.PRNGKey(0), xn, train=False)
+        variables, rep = load_torch_state_dict(
+            {"params": dict(variables["params"]),
+             "batch_stats": dict(variables.get("batch_stats", {}))}, sd,
+            verbose=False)
+        assert not rep["name_missed"], rep["name_missed"][:6]
+        assert not rep["shape_missed"], rep["shape_missed"][:6]
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+        got = np.asarray(fm.apply(variables, xn, train=False))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=2e-4)
+
     def test_dwconv_transpose2d(self):
         import_reference()
         from ultralytics.nn.modules.conv import DWConvTranspose2d as TDW

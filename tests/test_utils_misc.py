@@ -301,3 +301,26 @@ class TestResultsSurface:
         from mgdt_yolo_tpu.engine.results import Probs
         p = Probs(np.array([0.1, 0.5, 0.2, 0.15, 0.05]))
         assert p.top1 == 1 and p.top5conf[0] == pytest.approx(0.5)
+
+
+def test_ap_per_class_pr_matches_reference():
+    """P/R must be read at the reference's single global smoothed-mean-F1
+    confidence index (metrics.py:493-494), not per-class argmaxes."""
+    from reference_harness import import_reference
+    import_reference()
+    from ultralytics.yolo.utils.metrics import ap_per_class as ref_ap
+    rng = np.random.default_rng(3)
+    n = 400
+    tp = rng.uniform(size=(n, 10)) < 0.4
+    tp = np.sort(tp, axis=1)[:, ::-1]  # monotone over IoU thresholds
+    conf = rng.uniform(size=n)
+    pcls = rng.integers(0, 3, n).astype(float)
+    tcls = rng.integers(0, 3, 250).astype(float)
+    ours = ap_per_class(tp.copy(), conf.copy(), pcls.copy(), tcls.copy())
+    _, _, p, r, _, ap_ref, ucls = ref_ap(tp.copy(), conf.copy(), pcls.copy(),
+                                         tcls.copy(),
+                                         names={0: "a", 1: "b", 2: "c"})
+    np.testing.assert_array_equal(ours["classes"], ucls)
+    np.testing.assert_allclose(ours["ap"], ap_ref, atol=1e-9)
+    np.testing.assert_allclose(ours["precision"], p, atol=1e-9)
+    np.testing.assert_allclose(ours["recall"], r, atol=1e-9)
