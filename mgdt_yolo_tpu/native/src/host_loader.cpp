@@ -161,7 +161,12 @@ static int decode_png(FILE* f, std::vector<uint8_t>& rgb, int& w, int& h) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return MGDT_ERR_DECODE;
   }
+  // row-pointer array is malloc'd (volatile pointer declared before setjmp)
+  // instead of a std::vector: libpng errors longjmp back here, which would
+  // skip a vector's destructor — UB per [csetjmp] and a per-failure leak
+  png_bytep* volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
+    free((void*)rows);
     png_destroy_read_struct(&png, &info, nullptr);
     return MGDT_ERR_DECODE;
   }
@@ -180,9 +185,14 @@ static int decode_png(FILE* f, std::vector<uint8_t>& rgb, int& w, int& h) {
     return MGDT_ERR_DECODE;
   }
   rgb.resize((size_t)w * h * 3);
-  std::vector<png_bytep> rows(h);
+  rows = (png_bytep*)malloc(sizeof(png_bytep) * (size_t)h);
+  if (!rows) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return MGDT_ERR_DECODE;
+  }
   for (int y = 0; y < h; y++) rows[y] = rgb.data() + (size_t)y * w * 3;
-  png_read_image(png, rows.data());
+  png_read_image(png, rows);
+  free((void*)rows);
   png_destroy_read_struct(&png, &info, nullptr);
   return MGDT_OK;
 }

@@ -130,7 +130,12 @@ class BOTSORT(BYTETracker):
         BOTrack.multi_predict(tracks)
 
     def update(self, boxes, scores, cls, img=None):
-        if img is not None and len(self.tracked_stracks):
+        # GMC runs EVERY frame (reference byte_tracker.py:221-223 warps the
+        # tracked+lost pool unconditionally): gating on live tracks would
+        # leave lost tracks unwarped during full occlusion — exactly when
+        # camera compensation decides re-association — and let gmc.prev_frame
+        # go stale so optical flow resumes across a multi-frame gap
+        if img is not None:
             H = self.gmc.apply(img)
             BOTrack.multi_gmc(self.tracked_stracks, H)
             BOTrack.multi_gmc(self.lost_stracks, H)

@@ -68,7 +68,8 @@ class KalmanFilterXYAH:
         Q = np.square(np.concatenate([sp, sv], axis=1))
         means = means @ self._F.T
         covariances = self._F @ covariances @ self._F.T
-        covariances += np.apply_along_axis(np.diag, 1, Q)
+        idx = np.arange(8)
+        covariances[:, idx, idx] += Q  # add diag without per-track np.diag calls
         return means, covariances
 
     def project(self, mean, covariance):
@@ -129,5 +130,6 @@ class KalmanFilterXYWH(KalmanFilterXYAH):
         Q = np.square(np.concatenate([sp, sv], axis=1))
         means = means @ self._F.T
         covariances = self._F @ covariances @ self._F.T
-        covariances += np.apply_along_axis(np.diag, 1, Q)
+        idx = np.arange(8)
+        covariances[:, idx, idx] += Q  # add diag without per-track np.diag calls
         return means, covariances

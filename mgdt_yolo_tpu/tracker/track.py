@@ -100,11 +100,12 @@ def on_predict_postprocess_end(predictor):
         if len(tracks) == 0:
             result.update(boxes=np.zeros((0, 7), np.float32))
             continue
-        # rows: [x1,y1,x2,y2,track_id,score,cls] (+det idx col 7 dropped)
-        idx = tracks[:, 7].astype(int)
-        boxes = np.concatenate([det[idx, :4], tracks[:, 4:5],
-                                det[idx, 4:6]], axis=1)
-        result.update(boxes=boxes)
+        # rows: [x1,y1,x2,y2,track_id,score,cls] (+det idx col 7 dropped).
+        # Boxes are the KALMAN-POSTERIOR tlbr the tracker returns — the
+        # reference sets boxes=tracks[:, :-1] (tracker/track.py:52), which
+        # is what gives .track() temporally smoothed boxes; raw det boxes
+        # would discard the filter entirely.
+        result.update(boxes=tracks[:, :7].astype(np.float32))
 
 
 def register_tracker(predictor, persist: bool = False):

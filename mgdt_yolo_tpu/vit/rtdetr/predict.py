@@ -26,18 +26,25 @@ class RTDETRPredictor(BasePredictor):
         self._infer = infer
 
     def stream_inference(self, source, batch: int = 1):
-        from ..rtdetr.val import square_letterbox
+        from ...data.augment import letterbox
         from ...engine.predictor import load_source
         items = load_source(source)
         conf = self.args.conf if self.args.conf else 0.25
         names = self.model_holder.names
         for i in range(0, len(items), batch):
             chunk = items[i:i + batch]
-            xs, metas = [], []
+            xs = []
             for c in chunk:
-                img, meta = square_letterbox(c["img"], self.args.imgsz)
-                xs.append(img)
-                metas.append(meta)
+                # reference pre_transform STRETCHES to square (LetterBox
+                # auto=False scaleFill=True, reference vit/rtdetr/predict.py:
+                # 44) — the only geometry under which the bare [w0, h0]
+                # multiply below maps normalized boxes back correctly; a
+                # padded letterbox would offset/scale every box on
+                # non-square images
+                img, _, _ = letterbox(c["img"],
+                                      (self.args.imgsz, self.args.imgsz),
+                                      scale_fill=True)
+                xs.append(img[..., ::-1].astype(np.float32) / 255.0)
             x = np.stack(xs)
             bboxes, scores = jax.device_get(self._infer(self.variables, x))
             for j, c in enumerate(chunk):

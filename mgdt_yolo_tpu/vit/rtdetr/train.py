@@ -29,11 +29,15 @@ class _DETRCriterion:
              "mask_gt": batch["mask_gt"]}
         dn_meta = head_out[4] if len(head_out) > 4 else None
         total, parts = self.loss(head_out[:4], b, dn_meta=dn_meta)
-        bsz = batch["gt_labels"].shape[0]
         main = jnp.stack([parts.get("loss_bbox", 0.0), parts.get("loss_class", 0.0),
                           parts.get("loss_giou", 0.0)])
         import jax
-        return LossOutputs(total * bsz, jax.lax.stop_gradient(main))
+        # NO batch-size factor: the reference backprops the unscaled sum for
+        # RT-DETR (nn/tasks.py:453 returns sum(loss.values()); the *bsz
+        # convention belongs to the YOLO DetectionLoss only). Scaling here
+        # would multiply every gradient by the batch size, tying the
+        # effective lr to batch size against reference hyperparameters.
+        return LossOutputs(total, jax.lax.stop_gradient(main))
 
 
 class RTDETRTrainer(DetectionTrainer):

@@ -79,7 +79,11 @@ class SAM:
         from pathlib import Path
         ckpt = None
         name = str(model)
-        if name.endswith(".pt") and Path(name).is_file():
+        if name.endswith(".pt"):
+            if not Path(name).is_file():
+                # a silent random-weight fallback would "work" and generate
+                # garbage masks; the reference's checkpoint load raises
+                raise FileNotFoundError(f"SAM checkpoint {name!r} not found")
             ckpt = name  # reference usage: SAM('sam_b.pt') loads the ckpt
         arch = Path(name).stem.replace("-", "_")
         if arch not in SAM_ARCHS:
@@ -124,8 +128,9 @@ class SAM:
         x, scale, (h0, w0) = self._prep(image)
         if points is None:  # center point default
             points = np.array([[[w0 / 2, h0 / 2]]], np.float32)
-            labels = np.ones((1, 1), np.int32)
-        pts = np.asarray(points, np.float32) * scale
+        if labels is None:  # foreground by default (points without labels
+            labels = np.ones(np.shape(points)[:2], np.int32)  # is the
+        pts = np.asarray(points, np.float32) * scale  # natural prompted call
         masks, iou = jax.device_get(self._decode(
             self.variables, self._encode(self.variables, x),
             jnp.asarray(pts), jnp.asarray(labels)))
@@ -197,7 +202,13 @@ class SAM:
         nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
         rgb = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
         resized = cv2.resize(rgb, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        canvas = np.zeros((self.img_size, self.img_size, 3), np.float32)
+        # pad with the pixel MEAN: Sam.preprocess normalizes the whole
+        # canvas, so mean-filled pads land at exactly 0 after (x-mean)/std —
+        # the reference normalizes first and zero-pads after
+        # (vit/sam/modules/sam.py:164-173); raw-zero pads would sit at
+        # ~-2.1 sigma and leak into border windows of the ViT attention
+        canvas = np.empty((self.img_size, self.img_size, 3), np.float32)
+        canvas[:] = np.asarray(self.module.pixel_mean, np.float32)
         canvas[:nh, :nw] = resized
         return jnp.asarray(canvas[None]), scale, (h0, w0)
 

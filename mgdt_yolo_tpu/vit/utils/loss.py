@@ -133,7 +133,11 @@ class RTDETRDetectionLoss(DETRLoss):
         else:
             dn_b = dn_s = None
             dec_b, dec_s = dec_bboxes, dec_scores
-        # append encoder predictions as an extra supervised "layer"
-        all_b = jnp.concatenate([dec_b, enc_bboxes[None]], axis=0)
-        all_s = jnp.concatenate([dec_s, enc_scores[None]], axis=0)
+        # PREPEND encoder predictions as the extra supervised "layer"
+        # (reference nn/tasks.py:443 torch.cat([enc.unsqueeze(0), dec])):
+        # the LAST layer must be the final decoder layer so the unsuffixed
+        # main loss keys — what the trainer logs and early-stops on — track
+        # the model's actual output head, not the encoder auxiliary
+        all_b = jnp.concatenate([enc_bboxes[None], dec_b], axis=0)
+        all_s = jnp.concatenate([enc_scores[None], dec_s], axis=0)
         return super().__call__(all_b, all_s, batch, dn_meta, dn_b, dn_s)
