@@ -190,8 +190,11 @@ class BYTETracker:
         self.frame_id += 1
         activated, refind, lost, removed = [], [], [], []
 
-        high = scores >= self.args.track_high_thresh
-        low = (scores > self.args.track_low_thresh) & ~high
+        # strict inequalities like the reference (byte_tracker.py:195-197):
+        # a score exactly AT track_high_thresh falls in NEITHER band there
+        high = scores > self.args.track_high_thresh
+        low = ((scores > self.args.track_low_thresh)
+               & (scores < self.args.track_high_thresh))
         dets_h, dets_l = boxes[high], boxes[low]
         scores_h, scores_l = scores[high], scores[low]
         cls_h, cls_l = cls[high], cls[low]

@@ -67,11 +67,17 @@ class DETRLoss:
                            xywh=False, CIoU=False).squeeze(-1)
             iou = jax.lax.stop_gradient(jnp.clip(iou, 0, 1)) * tgt_valid
             gt_score = onehot * iou[..., None]
-            loss_cls = _varifocal_loss(pred_scores.astype(jnp.float32),
-                                       gt_score, onehot).sum() / n_gt
+            vfl = _varifocal_loss(pred_scores.astype(jnp.float32),
+                                  gt_score, onehot).sum() / n_gt
+            # reference falls back to FocalLoss (its default gamma 1.5) on a
+            # zero-gt batch (vit/utils/loss.py:58-61 `if num_gts and
+            # self.vfl`); traced in-graph as a select
+            fl = _sigmoid_focal_loss(pred_scores.astype(jnp.float32),
+                                     onehot, gamma=1.5).sum() / n_gt
+            loss_cls = jnp.where(tgt_valid.sum() > 0, vfl, fl)
         elif self.use_fl:
             loss_cls = _sigmoid_focal_loss(pred_scores.astype(jnp.float32),
-                                           onehot).sum() / n_gt
+                                           onehot, gamma=1.5).sum() / n_gt
         else:
             p = jax.nn.log_softmax(pred_scores.astype(jnp.float32))
             loss_cls = -(onehot * p).sum() / n_gt
