@@ -146,9 +146,18 @@ def handle_yolo_settings(args) -> None:
                     f"'yolo settings {a}=/path' ('yolo settings' alone prints "
                     f"current values, 'yolo settings reset' restores defaults)")
             k, v = a.split("=", 1)
-            with contextlib.suppress(ValueError, SyntaxError):
-                import ast
-                v = ast.literal_eval(v)
+            # smart-value coercion like the main k=v parser (reference
+            # smart_value): lowercase true/false/none must not persist as
+            # truthy strings in settings.yaml
+            low = v.lower()
+            if low in ("true", "false"):
+                v = low == "true"
+            elif low in ("none", "null"):
+                v = None
+            else:
+                with contextlib.suppress(ValueError, SyntaxError):
+                    import ast
+                    v = ast.literal_eval(v)
             kv[k] = v
         settings = set_settings(kv)
     else:
@@ -253,6 +262,18 @@ def entrypoint(argv=None):
         overrides["task"] = task
     from ..engine.model import YOLO
     model = YOLO(overrides.pop("model", None) or "yolov8n.yaml")
+    if mode in ("predict", "track") and "source" not in overrides:
+        # reference substitutes a default asset with a warning
+        # (cfg/__init__.py:330-333) rather than raising TypeError
+        import numpy as np
+        LOGGER.warning(f"'source' is missing — using a synthetic gray "
+                       f"image for {mode} (pass source=path)")
+        overrides["source"] = np.full((640, 640, 3), 114, np.uint8)
+    if mode == "benchmark":
+        # benchmark() has a fixed signature (imgsz/batch/data/formats);
+        # cfg-wide keys like task/half/conf would TypeError
+        allowed = {"imgsz", "batch", "data", "formats"}
+        overrides = {k: v for k, v in overrides.items() if k in allowed}
     out = getattr(model, mode)(**overrides)
     if mode == "predict" and isinstance(out, list):
         for r in out:

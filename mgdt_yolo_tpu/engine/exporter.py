@@ -100,9 +100,12 @@ class Exporter(CallbackMixin):
             (b,) = jexport.symbolic_shape("b")
             x = jax.ShapeDtypeStruct((b, imgsz, imgsz, 3), jnp.float32)
             exported = jexport.export(jax.jit(forward))(x)
-        except Exception:  # model not symbolic-batch traceable: pin batch
-            batch = int(getattr(self.args, "batch", 1) or 1)
-            x = jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3), jnp.float32)
+        except Exception:  # model not symbolic-batch traceable: pin batch 1
+            # (NOT args.batch, whose default of 16 would break every
+            # downstream batch-1 consumer — AutoBackend.warmup, benchmark)
+            LOGGER.warning("stablehlo export: symbolic batch failed, "
+                           "pinning batch=1")
+            x = jax.ShapeDtypeStruct((1, imgsz, imgsz, 3), jnp.float32)
             exported = jexport.export(jax.jit(forward))(x)
         blob = exported.serialize()
         out = self.out_dir / f"{self.stem}.stablehlo"
@@ -162,6 +165,9 @@ class Exporter(CallbackMixin):
         meta = {"imgsz": self.args.imgsz, "nc": mh.nc,
                 "stride": list(getattr(mh, "stride", (32,))),
                 "names": getattr(mh, "names", {}),
+                # architecture pointer: lets AutoBackend rebuild the model
+                # around an .npz weight archive
+                "model_yaml": getattr(mh, "yaml", {}).get("yaml_file", ""),
                 "layout": "NHWC", "output": "(1, 4+nc, A) xywh+scores"}
         (self.out_dir / f"{self.stem}_metadata.json").write_text(
             json.dumps(meta, indent=1))

@@ -46,6 +46,27 @@ class AutoBackend:
                 self.kind = "stablehlo"
                 from ..engine.exporter import load_stablehlo
                 self._fn = load_stablehlo(str(p))
+            elif p.suffix == ".npz":  # Exporter.export_npz weight archive
+                yaml_file = (m.get("model_yaml") if meta.is_file() else None)
+                if not yaml_file:
+                    raise ValueError(
+                        f"npz backend needs the exporter's *_metadata.json "
+                        f"(with model_yaml) beside {p}")
+                from .tasks import DetectionModel
+                mh = DetectionModel(yaml_file,
+                                    nc=(m.get("nc") if meta.is_file()
+                                        else None))
+                flat = np.load(str(p))
+                variables = {}
+                for key in flat.files:  # "coll.a.b.kernel" -> nested dict
+                    parts = key.split(".")
+                    node = variables
+                    for q in parts[:-1]:
+                        node = node.setdefault(q, {})
+                    node[parts[-1]] = flat[key]
+                mh.variables = variables
+                self.__init__(mh, imgsz)  # runs as a flax backend from here
+                return
             elif p.is_dir():  # orbax checkpoint
                 self.kind = "orbax"
                 from ..engine.model import YOLO

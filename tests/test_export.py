@@ -1,0 +1,76 @@
+"""Exporter + AutoBackend round-trips (reference yolo/engine/exporter.py and
+nn/autobackend.py): stablehlo serialize/reload parity, the npz weight
+archive reloading through AutoBackend via the metadata's model_yaml pointer,
+and metadata content.
+"""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mgdt_yolo_tpu import YOLO
+from mgdt_yolo_tpu.nn.autobackend import AutoBackend
+
+IMGSZ = 64
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    out = tmp_path_factory.mktemp("export")
+    m = YOLO("yolov8n.yaml")
+    arts = {}
+    for fmt in ("stablehlo", "npz"):
+        paths = m.export(format=fmt, imgsz=IMGSZ, project=str(out),
+                         name=fmt)
+        arts[fmt] = Path(paths[0])
+    return m, arts
+
+
+def _live(m, x):
+    decoded, _ = m.model.predict(jnp.asarray(x))
+    return np.asarray(decoded)
+
+
+def test_metadata_written(exported):
+    m, arts = exported
+    meta = json.loads((arts["stablehlo"].parent /
+                       f"{arts['stablehlo'].stem}_metadata.json").read_text())
+    assert meta["nc"] == m.model.nc
+    assert meta["layout"] == "NHWC"
+    assert meta["model_yaml"].endswith("yolov8n.yaml")
+    assert list(meta["stride"]) == list(m.model.stride)
+
+
+def test_stablehlo_reload_matches_live(exported):
+    m, arts = exported
+    backend = AutoBackend(str(arts["stablehlo"]), imgsz=IMGSZ)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (2, IMGSZ, IMGSZ, 3)).astype(np.float32)
+    got = backend(x)
+    want = _live(m, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_npz_reload_matches_live(exported):
+    """The npz archive + metadata model_yaml must rebuild a working
+    backend whose outputs match the live model exactly."""
+    m, arts = exported
+    backend = AutoBackend(str(arts["npz"]), imgsz=IMGSZ)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (1, IMGSZ, IMGSZ, 3)).astype(np.float32)
+    got = backend(x)
+    want = _live(m, x)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+    assert backend.names == m.model.names
+    backend.warmup(batch=1)
+
+
+def test_unsupported_source_raises(tmp_path):
+    bad = tmp_path / "weights.bin"
+    bad.write_bytes(b"xx")
+    with pytest.raises(ValueError):
+        AutoBackend(str(bad))
