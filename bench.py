@@ -33,7 +33,9 @@ def main():
     # HBM (measured: b128 852, b256 1432, b384 1498, b512 1556 img/s; pre-
     # kernel, b256 used to LOSE to b128 on memory pressure)
     mh = DetectionModel("mspa_c2f_gd_tood_yolov8.yaml", dtype=jnp.bfloat16).fuse()
-    variables = mh.variables
+    # device-resident params: host (numpy) variables would be re-uploaded on
+    # every dispatch (~5 MB fused tree through the 37 MB/s tunnel)
+    variables = jax.device_put(mh.variables)
 
     @jax.jit
     def infer(vs, img):

@@ -79,7 +79,12 @@ def data_sharding_setup(variables, no_shard_env: str):
     ndev = jax.local_device_count()
     if (ndev <= 1 or jax.process_count() > 1
             or os.environ.get(no_shard_env, "0") == "1"):
-        return 0, None, variables
+        # Even without sharding, pin the params on device once: model init
+        # keeps variables host-resident (numpy), and a jitted call with
+        # numpy leaves re-uploads the whole tree on EVERY dispatch — through
+        # a slow host<->device link that dominates end-to-end time (measured
+        # ~950 ms/batch for the 44 MB l-scale tree on the 37 MB/s tunnel).
+        return 0, None, jax.device_put(variables)
     mesh = create_mesh()
     return ndev, batch_sharding(mesh), replicate_tree(variables, mesh)
 

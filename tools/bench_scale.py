@@ -28,7 +28,9 @@ def main(scale="s", batch=256, cfg="mspa_c2f_gd_tood_yolov8.yaml",
     flops_g = float(info.get("gflops", 0.0))
     print(f"{cfg} scale={scale}: {n_params / 1e6:.2f}M params, "
           f"{flops_g:.1f} GFLOPs @{imgsz}", flush=True)
-    variables = mh.variables
+    # device-resident params: host (numpy) variables are re-uploaded on
+    # every dispatch otherwise (44 MB fp32 at l-scale = ~1.2 s/call here)
+    variables = jax.device_put(mh.variables)
 
     @jax.jit
     def infer(vs, img):

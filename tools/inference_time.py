@@ -26,6 +26,9 @@ def main():
     from mgdt_yolo_tpu.ops.nms import non_max_suppression
 
     mh = DetectionModel(args.model, dtype=jnp.bfloat16)
+    # device-resident params (model init keeps them as host numpy; passing
+    # those into a jitted call re-uploads the tree every dispatch)
+    variables = jax.device_put(mh.variables)
 
     @jax.jit
     def infer(vs, img):
@@ -35,11 +38,11 @@ def main():
     x = jnp.asarray(np.random.default_rng(0).uniform(
         0, 1, (args.batch, args.imgsz, args.imgsz, 3)).astype(np.float32),
         jnp.bfloat16)
-    jax.block_until_ready(infer(mh.variables, x))
+    jax.block_until_ready(infer(variables, x))
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(infer(mh.variables, x))
+        jax.block_until_ready(infer(variables, x))
         times.append(time.perf_counter() - t0)
     times = sorted(times)[1:-1]
     ms = sum(times) / len(times) / args.batch * 1000

@@ -31,7 +31,7 @@ if __name__ == "__main__":
     from mgdt_yolo_tpu.ops.nms import non_max_suppression
 
     mh = DetectionModel("mspa_c2f_gd_tood_yolov8.yaml", dtype=jnp.bfloat16).fuse()
-    variables = mh.variables
+    variables = jax.device_put(mh.variables)  # pin on device once
     rng = np.random.default_rng(0)
 
     for batch in (64, 128, 256):

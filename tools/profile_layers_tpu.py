@@ -6,7 +6,7 @@ requested batch (amortized device_get protocol per CLAUDE.md). Sum of
 layers > full-model time (XLA fuses across layers in the real program),
 but the RANKING shows where the time goes.
 
-Usage: python tools/profile_layers_tpu.py [batch] [yaml]
+Usage: python tools/profile_layers_tpu.py [batch] [yaml] [scale]
 """
 import sys
 import time
@@ -16,14 +16,18 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main(batch=128, cfg="mspa_c2f_gd_tood_yolov8.yaml", imgsz=640):
+def main(batch=128, cfg="mspa_c2f_gd_tood_yolov8.yaml", imgsz=640,
+         scale=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from mgdt_yolo_tpu.nn.tasks import DetectionModel, build_module
+    from mgdt_yolo_tpu.nn.tasks import (DetectionModel, build_module,
+                                        yaml_model_load)
 
     dtype = jnp.bfloat16
+    if scale:
+        cfg = dict(yaml_model_load(cfg), scale=scale)
     mh = DetectionModel(cfg, dtype=dtype)
     key = jax.random.PRNGKey(0)
 
@@ -85,4 +89,4 @@ def main(batch=128, cfg="mspa_c2f_gd_tood_yolov8.yaml", imgsz=640):
 if __name__ == "__main__":
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     cfg = sys.argv[2] if len(sys.argv) > 2 else "mspa_c2f_gd_tood_yolov8.yaml"
-    main(b, cfg)
+    main(b, cfg, scale=(sys.argv[3] if len(sys.argv) > 3 else None))
