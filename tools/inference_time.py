@@ -38,16 +38,24 @@ def main():
     x = jnp.asarray(np.random.default_rng(0).uniform(
         0, 1, (args.batch, args.imgsz, args.imgsz, 3)).astype(np.float32),
         jnp.bfloat16)
-    jax.block_until_ready(infer(variables, x))
+    def run_blocking():
+        out = infer(variables, x)
+        # block_until_ready does NOT block through the axon tunnel; a 1-elem
+        # device_get is the only reliable completion fence here (CLAUDE.md).
+        jax.device_get(out[0].ravel()[:1] if isinstance(out, tuple)
+                       else out.ravel()[:1])
+
+    run_blocking()
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(infer(variables, x))
+        run_blocking()
         times.append(time.perf_counter() - t0)
     times = sorted(times)[1:-1]
     ms = sum(times) / len(times) / args.batch * 1000
     print(f"{args.model}: {ms:.2f} ms/image @ {args.imgsz}px "
-          f"(batch {args.batch}, {args.iters} runs, min/max excluded)")
+          f"(batch {args.batch}, {args.iters} runs, min/max excluded; "
+          f"includes one ~27 ms tunnel round-trip on this dev box)")
 
 
 if __name__ == "__main__":
