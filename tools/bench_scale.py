@@ -62,7 +62,9 @@ def main(scale="s", batch=256, cfg="mspa_c2f_gd_tood_yolov8.yaml",
             break
     dt = min(windows)
     ips = batch / dt
-    tflops = ips * flops_g * 2 / 1e3  # fwd FLOPs only, GF->TF
+    # get_flops comes from XLA cost_analysis, which already counts an FMA
+    # as 2 flops (verified: 128^3 matmul reports 2*N^3) — no MACs x2 here.
+    tflops = ips * flops_g / 1e3  # fwd FLOPs only, GF->TF
     print(f"scale={scale} b{batch}: {dt * 1e3:.1f} ms/batch, "
           f"{ips:.0f} img/s, ~{tflops:.1f} TFLOP/s "
           f"({tflops / 197 * 100:.1f}% of v5e bf16 peak)", flush=True)
