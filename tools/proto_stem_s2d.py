@@ -12,6 +12,11 @@ Usage: python tools/proto_stem_s2d.py [batch]
 Prints timings for the XLA-native stride-2 conv vs the s2d formulation plus
 a max|delta| exactness check. Decides whether the model graph should adopt
 s2d for stride-2 convs whose input channels underfill the MXU.
+
+VERDICT (2026-08-18, v5e, b128): REJECTED — 0.92x (native 6.18 ms, s2d
+6.75 ms). XLA/Mosaic already handles the strided 3-channel window
+extraction well; the 4*Cin=12-channel reformulation still underfills the
+MXU and pays an extra reshape pass. Keep the stock stride-2 stem.
 """
 import sys
 import time
