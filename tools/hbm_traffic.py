@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Rank the compiled serving program's top-level HLO instructions by HBM
+traffic (operand + result bytes).
+
+The n-scale model is HBM-bandwidth-bound (tools/roofline.py: AI 14.5 vs
+ridge 241, 359 MB/img at b512), so the optimization currency is bytes, not
+flops — but XLA's cost_analysis only reports the aggregate. After XLA's
+fusion pass, every *top-level* instruction of the entry computation is a
+unit of HBM traffic: a fusion reads its operands from HBM and writes its
+result back, everything inside stays in registers/VMEM. Parsing the
+post-optimization HLO text therefore gives a per-fusion byte ledger the
+profiler can't (it reports time, which conflates bandwidth and latency).
+
+Approximations: operand bytes count a buffer once per use (reuse within a
+window is free in reality), and in-place/aliased buffers are counted on
+both sides. Good enough to rank.
+
+Usage: python tools/hbm_traffic.py [batch] [scale] [top_n]
+"""
+import re
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+_DT_BYTES = {"pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2,
+             "bf16": 2, "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8,
+             "f64": 8}
+
+_SHAPE_RE = re.compile(r"\b(pred|[sub]\d+|bf16|f16|f32|f64)\[([\d,]*)\]")
+
+
+def shape_bytes(text: str) -> int:
+    """Sum bytes over every array shape literal in `text` (handles tuples)."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(text):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DT_BYTES.get(dt, 4)
+    return total
+
+
+def main(batch=512, scale="n", top_n=25):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mgdt_yolo_tpu.nn.tasks import DetectionModel, yaml_model_load
+    from mgdt_yolo_tpu.ops.nms import non_max_suppression
+
+    yaml = "mspa_c2f_gd_tood_yolov8.yaml"
+    d = yaml_model_load(yaml)
+    d["scale"] = scale
+    mh = DetectionModel(d, dtype=jnp.bfloat16).fuse()
+    variables = jax.device_put(mh.variables)
+
+    @jax.jit
+    def infer(vs, img):
+        decoded, _ = mh.model.apply(vs, img, train=False)
+        return non_max_suppression(decoded, conf_thres=0.25, iou_thres=0.7,
+                                   max_det=300, pre_topk=1024)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (batch, 640, 640, 3)), jnp.bfloat16)
+    compiled = infer.lower(variables, x).compile()
+    hlo = compiled.as_text()
+
+    # entry computation = the one with ROOT ... after "ENTRY"
+    entry = hlo[hlo.index("ENTRY"):]
+    entry = entry[:entry.index("\n}")]
+
+    # def-name -> result bytes (result shape is the text before " = ")
+    def_bytes = {}
+    rows = []  # (bytes, name, op_kind)
+    for line in entry.splitlines():
+        line = line.strip()
+        m = re.match(r"(?:ROOT )?(%?[\w.\-]+) = (.+)", line)
+        if not m:
+            continue
+        name, rhs = m.groups()
+        # result shape(s): everything before the opcode — take the shape
+        # literals up to the first opcode token (a word followed by '(').
+        op_m = re.search(r"\)?\s*([a-z][\w\-]*)\(", rhs)
+        opcode = op_m.group(1) if op_m else rhs.split()[0]
+        res_end = rhs.index(opcode + "(") if op_m else len(rhs)
+        res_b = shape_bytes(rhs[:res_end])
+        def_bytes[name] = res_b
+        if opcode in ("parameter", "constant", "get-tuple-element", "tuple",
+                      "bitcast"):
+            continue
+        # operand bytes: sum result bytes of referenced defs
+        opnd_b = 0
+        for ref in re.findall(r"%[\w.\-]+", rhs[res_end:]):
+            opnd_b += def_bytes.get(ref, 0)
+        label = opcode
+        fm = re.search(r'custom_call_target="([^"]+)"', rhs)
+        if fm:
+            label = f"custom-call:{fm.group(1)}"
+        km = re.search(r"kind=(\w+)", rhs)
+        if km and opcode == "fusion":
+            label = f"fusion/{km.group(1)[1:]}"
+        # annotate with the metadata op_name tail if present (source hint)
+        mm = re.search(r'op_name="([^"]+)"', rhs)
+        hint = mm.group(1).split("/")[-1][:48] if mm else ""
+        rows.append((res_b + opnd_b, name, label, hint))
+
+    rows.sort(reverse=True)
+    total = sum(r[0] for r in rows)
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0] if cost else {}
+    xla_bytes = float(cost.get("bytes accessed", 0.0))
+    print(f"{yaml} scale={scale} b{batch}: {len(rows)} top-level instrs, "
+          f"ledger {total / batch / 1e6:.1f} MB/img "
+          f"(XLA cost_analysis {xla_bytes / batch / 1e6:.1f} MB/img)")
+    print(f"{'MB/img':>8}  {'%':>5}  instruction")
+    for b, name, label, hint in rows[:int(top_n)]:
+        print(f"{b / batch / 1e6:8.2f}  {100 * b / total:5.1f}  "
+              f"{label:<28} {name[:28]:<28} {hint}")
+    # aggregate by label
+    agg = defaultdict(float)
+    for b, _, label, _ in rows:
+        agg[label] += b
+    print("\nby op kind:")
+    for label, b in sorted(agg.items(), key=lambda kv: -kv[1])[:12]:
+        print(f"{b / batch / 1e6:8.2f}  {100 * b / total:5.1f}  {label}")
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(int(a[0]) if a else 512, a[1] if len(a) > 1 else "n",
+         int(a[2]) if len(a) > 2 else 25)
