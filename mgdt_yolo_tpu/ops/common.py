@@ -31,6 +31,21 @@ def _adaptive_pool_matrix(in_size: int, out_size: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=256)
+def _block_indicator(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) 0/1 block-membership matrix for divisible pooling.
+
+    Every entry is 0.0 or 1.0 — exactly representable in bf16 — so the
+    block *sum* can contract the input in its native dtype with f32
+    accumulation on the MXU.
+    """
+    k = in_size // out_size
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        m[i, i * k:(i + 1) * k] = 1.0
+    return m
+
+
+@functools.lru_cache(maxsize=256)
 def _bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
     """(out, in) matrix reproducing torch bilinear resize, align_corners=False."""
     m = np.zeros((out_size, in_size), dtype=np.float32)
@@ -71,9 +86,19 @@ def adaptive_avg_pool2d(x: jnp.ndarray, output_size) -> jnp.ndarray:
     if oh == 1 and ow == 1:
         return jnp.mean(x, axis=(1, 2), keepdims=True)
     if h % oh == 0 and w % ow == 0:
-        # Divisible fast path: block-mean via reshape (fuses into surrounding ops)
-        x = x.reshape(b, oh, h // oh, ow, w // ow, c)
-        return x.mean(axis=(2, 4))
+        # Divisible fast path: block sums as two MXU contractions against
+        # 0/1 indicator matrices (exact in any dtype), f32 accumulation,
+        # one final scale. The previous reshape-then-mean form forced XLA
+        # to materialize an f32 convert + tiled-layout copy of the whole
+        # map on TPU (~20 MB/img inside the MSPA blocks at b512,
+        # tools/hbm_traffic.py); this reads the input once, natively.
+        eh = jnp.asarray(_block_indicator(h, oh), x.dtype)
+        ew = jnp.asarray(_block_indicator(w, ow), x.dtype)
+        y = jnp.einsum("oh,bhwc->bowc", eh, x,
+                       preferred_element_type=jnp.float32)
+        y = jnp.einsum("ow,bhwc->bhoc", ew, y,
+                       preferred_element_type=jnp.float32)
+        return (y * (1.0 / ((h // oh) * (w // ow)))).astype(x.dtype)
     return _apply_hw_matrices(x, _adaptive_pool_matrix(h, oh), _adaptive_pool_matrix(w, ow))
 
 

@@ -96,6 +96,23 @@ def nms_single(boxes: jnp.ndarray, scores: jnp.ndarray, conf_thres: float = 0.25
     return out, n
 
 
+def _pairwise_inter(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(Na, Nb) xyxy intersection areas via per-coordinate [Na, Nb] planes.
+
+    Broadcasting the boxes as (N, 1, 2) vs (1, N, 2) coordinate *pairs* makes
+    XLA materialize the [Na, Nb, 2] clipped-wh tensor in HBM (8.4 MB/img at
+    the serving pool, tools/hbm_traffic.py); with scalar coordinate planes
+    the whole max→min→sub→clip→mul chain fuses into its consumer and only
+    the final mask/IoU plane exists. Same ops in the same order —
+    bit-identical to the stacked form.
+    """
+    iw = jnp.clip(jnp.minimum(a[:, None, 2], b[None, :, 2]) -
+                  jnp.maximum(a[:, None, 0], b[None, :, 0]), 0)
+    ih = jnp.clip(jnp.minimum(a[:, None, 3], b[None, :, 3]) -
+                  jnp.maximum(a[:, None, 1], b[None, :, 1]), 0)
+    return iw * ih
+
+
 def _blocked_keep(ob: jnp.ndarray, conf: jnp.ndarray, valid: jnp.ndarray,
                   iou_thres: float, block: int, max_det: int) -> jnp.ndarray:
     """Greedy-NMS keep mask computed block-by-block in score order.
@@ -128,17 +145,11 @@ def _blocked_keep(ob: jnp.ndarray, conf: jnp.ndarray, valid: jnp.ndarray,
         ob_i = ob[s:e]
         ar_i = areas[s:e]
         # suppression by earlier-block keepers
-        lt = jnp.maximum(ob_i[:, None, :2], buf_boxes[None, :, :2])
-        rb = jnp.minimum(ob_i[:, None, 2:], buf_boxes[None, :, 2:])
-        wh = jnp.clip(rb - lt, 0)
-        inter = wh[..., 0] * wh[..., 1]
+        inter = _pairwise_inter(ob_i, buf_boxes)
         iou_b = inter / (ar_i[:, None] + buf_areas[None, :] - inter + 1e-7)
         supp = ((iou_b > iou_thres) & buf_valid[None, :]).any(axis=1)
         # within-block fixpoint
-        lt = jnp.maximum(ob_i[:, None, :2], ob_i[None, :, :2])
-        rb = jnp.minimum(ob_i[:, None, 2:], ob_i[None, :, 2:])
-        wh = jnp.clip(rb - lt, 0)
-        inter = wh[..., 0] * wh[..., 1]
+        inter = _pairwise_inter(ob_i, ob_i)
         iou_i = inter / (ar_i[:, None] + ar_i[None, :] - inter + 1e-7)
         overlap = (iou_i > iou_thres) & jnp.tril(jnp.ones((nb, nb), bool), -1)
         valid_i = valid[s:e] & ~supp
@@ -189,10 +200,7 @@ def nms_single_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
         keep = _blocked_keep(ob, conf, valid, iou_thres, block, max_det)
     else:
         areas = (ob[:, 2] - ob[:, 0]) * (ob[:, 3] - ob[:, 1])
-        lt = jnp.maximum(ob[:, None, :2], ob[None, :, :2])
-        rb = jnp.minimum(ob[:, None, 2:], ob[None, :, 2:])
-        wh = jnp.clip(rb - lt, 0)
-        inter = wh[..., 0] * wh[..., 1]
+        inter = _pairwise_inter(ob, ob)
         iou = inter / (areas[:, None] + areas[None, :] - inter + 1e-7)
         # candidates arrive score-sorted from top_k: higher score = lower index
         higher = jnp.tril(jnp.ones((k, k), bool), k=-1)  # [i, j]: j < i

@@ -11,9 +11,9 @@ chunk on v5e). This kernel keeps the whole window computation in VMEM:
                                     once per image (index map ignores the
                                     row index, consecutive steps reuse it).
     field blocks (1, K, RB, W)    — floor/frac/mask-valid fields per tap.
-    out block    (1, K*C, RB, W)  — sampled taps, K*C on sublanes, pixels
-                                    on lanes (no 4x lane padding a C=32
-                                    minor dim would cost).
+    out block    (1, RB, W, Cout) — NHWC conv output (taps are contracted
+                                    with the weight in-kernel; the K*C
+                                    accumulator lives only in VMEM).
   body: python-unrolled loop over the 64 window slots (qy, qx):
     w_q  = [(y0==qy)(1-fy) + (y0+1==qy)fy] * [same for x] * wv   (K,RB,W)
     acc += repeat(w_q, C) * tile(x-slice, K)                      (K*C,RB,W)
@@ -21,9 +21,11 @@ chunk on v5e). This kernel keeps the whole window computation in VMEM:
   VMEM-resident data; nothing data-dependent ever indexes memory.
 
 The caller (ops/deform.py, method='pallas') precomputes the per-tap
-floor/frac/mask fields (cheap elementwise XLA) and finishes with the
-shared-weight GEMM  out[b,p,o] = sampled[b,kc,p] . W[kc,o]  on the MXU.
-Window coverage and clamping semantics are identical to method='patch'.
+floor/frac/mask fields (cheap elementwise XLA); the shared-weight GEMM
+out[p,o] = acc[kc,p] . W[kc,o] runs on the MXU *inside* the kernel
+(_kernel_fused), so the (B, K*C, H, W) tap tensor never reaches HBM and
+the output is written NHWC directly. Window coverage and clamping
+semantics are identical to method='patch'.
 """
 from __future__ import annotations
 
@@ -39,18 +41,9 @@ RB = 8         # output rows per grid step
 K = 9          # 3x3 taps
 
 
-def _kernel(x_ref, y0_ref, fy_ref, x0_ref, fx_ref, wv_ref, o_ref, *,
-            C: int, W: int):
-    r = pl.program_id(1)
-    y0 = y0_ref[0]          # (K, RB, W) f32: floor(ry) clipped to [0, M-2]
-    fy = fy_ref[0]
-    x0 = x0_ref[0]
-    fx = fx_ref[0]
-    wv = wv_ref[0]          # mask * valid
-    # one aligned 2*RB-row slab per block (start r*RB is 8-aligned — Mosaic
-    # rejects the unaligned per-slot row starts); every window slice below
-    # is then a static in-register slice of this value
-    slab = x_ref[0, :, pl.ds(pl.multiple_of(r * RB, 8), 2 * RB), :]
+def _acc_slots(slab, y0, fy, x0, fx, wv, C: int, W: int):
+    """Window-slot walk shared by the forward kernels: accumulate the
+    sampled modulated taps (K*C, RB, W) in f32 from VMEM-resident data."""
     acc = jnp.zeros((K * C, RB, W), jnp.float32)
     for q in range(M * M):
         qy, qx = divmod(q, M)
@@ -65,45 +58,33 @@ def _kernel(x_ref, y0_ref, fy_ref, x0_ref, fx_ref, wv_ref, o_ref, *,
             .reshape(K * C, RB, W)
         xs_t = jnp.concatenate([xs] * K, axis=0)  # (K*C, RB, W), k-major
         acc = acc + w_qx.astype(jnp.float32) * xs_t.astype(jnp.float32)
-    o_ref[0] = acc.astype(o_ref.dtype)
+    return acc
 
 
-def deform_sample(x: jnp.ndarray, y0: jnp.ndarray, fy: jnp.ndarray,
-                  x0: jnp.ndarray, fx: jnp.ndarray, wv: jnp.ndarray,
-                  interpret: bool = False) -> jnp.ndarray:
-    """Sampled modulated taps for every output pixel.
+def _kernel_fused(x_ref, y0_ref, fy_ref, x0_ref, fx_ref, wv_ref, w_ref,
+                  o_ref, *, C: int, W: int):
+    """Sampling + shared-weight GEMM in one kernel, NHWC output.
 
-    Args:
-        x: (B, C, Hp, Wp) padded channels-first image, Hp = H + M - 1.
-        y0/fy/x0/fx/wv: (B, K, H, W) f32 window-relative floor, fraction
-            and modulation-validity fields.
-    Returns:
-        (B, K*C, H, W) sampled taps in x.dtype (k-major: feature = k*C+c;
-        accumulation is f32 in-kernel, only the stored result narrows).
+    The two-stage form (deform_sample then an XLA einsum) writes the
+    (B, K*C, H, W) tap tensor to HBM and XLA inserts a layout copy of it
+    before the GEMM — 11+ MB/img at b512 (tools/hbm_traffic.py). Here the
+    taps never leave VMEM: the slot accumulator is contracted against the
+    (K*C, Cout) weight on the MXU in-kernel and only the (RB, W, Cout)
+    output block is written, already in the NHWC layout the downstream
+    GroupNorm/convs read.
     """
-    B, C, Hp, Wp = x.shape
-    _, _, H, W = y0.shape
-    assert Hp == H + 2 * RB and Wp == W + M - 1  # extra rows: aligned slab loads
-    assert H % RB == 0, f"H={H} must be a multiple of {RB}"
-    grid = (B, H // RB)
-    fspec = pl.BlockSpec((1, K, RB, W), lambda b, r: (b, 0, r, 0),
-                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_kernel, C=C, W=W),
-        out_shape=jax.ShapeDtypeStruct((B, K * C, H, W), x.dtype),
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, C, Hp, Wp), lambda b, r: (b, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                fspec, fspec, fspec, fspec, fspec,
-            ],
-            out_specs=pl.BlockSpec((1, K * C, RB, W),
-                                   lambda b, r: (b, 0, r, 0),
-                                   memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(x, y0, fy, x0, fx, wv)
+    r = pl.program_id(1)
+    slab = x_ref[0, :, pl.ds(pl.multiple_of(r * RB, 8), 2 * RB), :]
+    acc = _acc_slots(slab, y0_ref[0], fy_ref[0], x0_ref[0], fx_ref[0],
+                     wv_ref[0], C, W)
+    # Mosaic cannot merge (RB, W) sublane/lane dims into one, so contract
+    # row-by-row: RB small (K*C, W)^T . (K*C, Cout) matmuls on the MXU.
+    wf = w_ref[...].astype(jnp.float32)
+    rows = [jax.lax.dot_general(acc[:, i], wf,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)[None]
+            for i in range(RB)]                   # RB x (1, W, Cout)
+    o_ref[0] = jnp.concatenate(rows, axis=0).astype(o_ref.dtype)
 
 
 def _fields(offset, mask, H, W):
@@ -155,7 +136,7 @@ def _pad_cf(x):
 
 def modulated_deform_conv2d_pallas(x, offset, mask, weight, bias=None,
                                    interpret: bool = False):
-    """DCNv2 eval kernel: Pallas sampling core + MXU shared-weight GEMM.
+    """DCNv2 eval kernel: Pallas sampling + in-kernel MXU GEMM, NHWC out.
 
     Same signature/semantics as ops.deform.modulated_deform_conv2d_patch
     (8x8 window, +/-2 px universal offset coverage, out-of-window clamp).
@@ -163,13 +144,30 @@ def modulated_deform_conv2d_pallas(x, offset, mask, weight, bias=None,
     B, H, W, Cin = x.shape
     kh, kw, _, Cout = weight.shape
     assert kh == 3 and kw == 3
+    assert H % RB == 0, f"H={H} must be a multiple of {RB}"
     y0, fy, x0, fx, wv = _fields(offset, mask, H, W)[:5]
-    sampled = deform_sample(_pad_cf(x), y0, fy, x0, fx, wv,
-                            interpret=interpret)
-    # shared-weight GEMM on the MXU: feature = k*C + c matches weight layout
+    xp = _pad_cf(x)
+    _, _, Hp, Wp = xp.shape
     wf = weight.reshape(K * Cin, Cout)
-    out = jnp.einsum("bfhw,fo->bhwo", sampled.astype(x.dtype),
-                     wf.astype(x.dtype), preferred_element_type=jnp.float32)
+    fspec = pl.BlockSpec((1, K, RB, W), lambda b, r: (b, 0, r, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel_fused, C=Cin, W=W),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, H // RB),
+            in_specs=[
+                pl.BlockSpec((1, Cin, Hp, Wp), lambda b, r: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                fspec, fspec, fspec, fspec, fspec,
+                pl.BlockSpec((K * Cin, Cout), lambda b, r: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, RB, W, Cout), lambda b, r: (b, r, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(xp, y0, fy, x0, fx, wv, wf)
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)
