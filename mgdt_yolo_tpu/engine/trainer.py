@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import shutil
 import time
 from pathlib import Path
@@ -210,7 +211,17 @@ def make_train_step(model, criterion, tx, ema_decay: float = 0.9999,
                    "grad_norm": optax.global_norm(grads)}
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    # Donating the state halves peak param+opt memory on a real TPU host,
+    # but the axon dev tunnel rejects programs with donated buffers at
+    # dispatch (async "TPU backend error (InvalidArgument)" on the first
+    # result fetch). MGDT_DONATE=0/1 overrides the platform autodetect.
+    donate = os.environ.get("MGDT_DONATE", "auto")
+    if donate == "auto":
+        ver = jax.devices()[0].client.platform_version
+        donate = "0" if "axon" in ver else "1"
+    if donate == "1":
+        return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(train_step)
 
 
 def device_augment_unsupported(args) -> Dict[str, Any]:

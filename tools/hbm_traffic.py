@@ -15,7 +15,8 @@ Approximations: operand bytes count a buffer once per use (reuse within a
 window is free in reality), and in-place/aliased buffers are counted on
 both sides. Good enough to rank.
 
-Usage: python tools/hbm_traffic.py [batch] [scale] [top_n]
+Usage: python tools/hbm_traffic.py [batch] [scale] [top_n] [--train]
+(--train ledgers the value_and_grad(loss) program instead of serving)
 """
 import re
 import sys
@@ -43,10 +44,9 @@ def shape_bytes(text: str) -> int:
     return total
 
 
-def main(batch=512, scale="n", top_n=25):
+def build_infer(scale):
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from mgdt_yolo_tpu.nn.tasks import DetectionModel, yaml_model_load
     from mgdt_yolo_tpu.ops.nms import non_max_suppression
@@ -63,9 +63,67 @@ def main(batch=512, scale="n", top_n=25):
         return non_max_suppression(decoded, conf_thres=0.25, iou_thres=0.7,
                                    max_det=300, pre_topk=1024)
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(0, 1, (batch, 640, 640, 3)), jnp.bfloat16)
-    compiled = infer.lower(variables, x).compile()
+    return yaml, infer, (variables,), jnp.bfloat16
+
+
+def build_train(scale):
+    """value_and_grad(loss) program — the fwd+bwd the trainer dispatches
+    (opt/EMA excluded: ~4 ms of pure elementwise param-sized updates)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mgdt_yolo_tpu.nn.tasks import DetectionModel, yaml_model_load
+    from mgdt_yolo_tpu.utils.loss import DetectionLoss
+
+    yaml = "mspa_c2f_gd_tood_yolov8.yaml"
+    d = yaml_model_load(yaml)
+    d["scale"] = scale
+    mh = DetectionModel(d, dtype=jnp.bfloat16)
+    criterion = DetectionLoss(mh.nc, mh.reg_max, mh.stride)
+    params = jax.device_put(mh.variables["params"])
+    bs = jax.device_put(mh.variables.get("batch_stats", {}))
+    step = jnp.int32(0)
+
+    @jax.jit
+    def fwd_bwd(params, bs, batch_d):
+        def loss_fn(p):
+            out, upd = mh.model.apply({"params": p, "batch_stats": bs},
+                                      batch_d["img"], train=True,
+                                      mutable=["batch_stats"])
+            lo = criterion(out[1], batch_d, step)
+            return lo.total, upd
+        (loss, upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, grads
+
+    def make_batch(batch, imgsz=640):
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((batch, imgsz, imgsz, 3),
+                                     dtype=np.float32))
+        max_gt = 8
+        labels = jnp.asarray(rng.integers(0, 2, (batch, max_gt)), jnp.int32)
+        xy = rng.random((batch, max_gt, 2), dtype=np.float32) * imgsz * 0.7
+        wh = rng.random((batch, max_gt, 2), dtype=np.float32) * imgsz * 0.2 + 8
+        bboxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        mask = jnp.asarray(rng.random((batch, max_gt)) < 0.7)
+        return {"img": img, "gt_labels": labels, "gt_bboxes": bboxes,
+                "mask_gt": mask}
+
+    return yaml, fwd_bwd, (params, bs), make_batch
+
+
+def main(batch=512, scale="n", top_n=25, mode="infer"):
+    import jax.numpy as jnp
+    import numpy as np
+
+    if mode == "train":
+        yaml, fn, fixed, make_batch = build_train(scale)
+        compiled = fn.lower(*fixed, make_batch(batch)).compile()
+    else:
+        yaml, fn, fixed, dtype = build_infer(scale)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(0, 1, (batch, 640, 640, 3)), dtype)
+        compiled = fn.lower(*fixed, x).compile()
     hlo = compiled.as_text()
 
     # entry computation = the one with ROOT ... after "ENTRY"
@@ -130,6 +188,8 @@ def main(batch=512, scale="n", top_n=25):
 
 
 if __name__ == "__main__":
-    a = sys.argv[1:]
-    main(int(a[0]) if a else 512, a[1] if len(a) > 1 else "n",
-         int(a[2]) if len(a) > 2 else 25)
+    a = [x for x in sys.argv[1:] if x != "--train"]
+    mode = "train" if "--train" in sys.argv[1:] else "infer"
+    main(int(a[0]) if a else (32 if mode == "train" else 512),
+         a[1] if len(a) > 1 else "n",
+         int(a[2]) if len(a) > 2 else 25, mode=mode)
