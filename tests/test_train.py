@@ -147,3 +147,37 @@ class TestSharding:
             _, metrics = step_fn(state, shard_batch(batch, mesh))
             losses.append(float(metrics["loss"]))
         assert abs(losses[0] - losses[1]) / losses[0] < 1e-3, losses
+
+
+class TestDonationGate:
+    """make_train_step drops donate_argnums on the axon tunnel (which
+    rejects donated buffers at dispatch) and honors MGDT_DONATE."""
+
+    def _captured_jit_kwargs(self, monkeypatch, env):
+        import mgdt_yolo_tpu.engine.trainer as T
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        seen = {}
+        real_jit = jax.jit
+
+        def spy(fn, **kw):
+            seen.update(kw or {"donate_argnums": None})
+            return real_jit(fn)
+        monkeypatch.setattr(T.jax, "jit", spy)
+        T.make_train_step(object(), object(), object())
+        return seen
+
+    def test_env_force_off(self, monkeypatch):
+        kw = self._captured_jit_kwargs(monkeypatch, {"MGDT_DONATE": "0"})
+        assert kw.get("donate_argnums") is None
+
+    def test_env_force_on(self, monkeypatch):
+        kw = self._captured_jit_kwargs(monkeypatch, {"MGDT_DONATE": "1"})
+        assert kw.get("donate_argnums") == (0,)
+
+    def test_auto_donates_off_tunnel(self, monkeypatch):
+        # CPU test env: platform_version has no "axon" -> donation on
+        kw = self._captured_jit_kwargs(monkeypatch, {"MGDT_DONATE": "auto"})
+        expected = (None if "axon"
+                    in jax.devices()[0].client.platform_version else (0,))
+        assert kw.get("donate_argnums") == expected
