@@ -31,7 +31,8 @@ def main():
     imgsz = 640
     batch = 512  # single-chip sweet spot AFTER the Pallas deform kernel freed
     # HBM (measured: b128 852, b256 1432, b384 1498, b512 1556 img/s; pre-
-    # kernel, b256 used to LOSE to b128 on memory pressure)
+    # kernel, b256 used to LOSE to b128 on memory pressure; post fused-GEMM
+    # re-probe: b512 1898.7 > b768 1854 > b640 1833 — still the peak)
     mh = DetectionModel("mspa_c2f_gd_tood_yolov8.yaml", dtype=jnp.bfloat16).fuse()
     # device-resident params: host (numpy) variables would be re-uploaded on
     # every dispatch (~5 MB fused tree through the 37 MB/s tunnel)
