@@ -7,7 +7,7 @@ host-side timing deltas disagree with isolated microbenches (the axon tunnel
 makes per-call wall timing noisy; the trace is recorded on-device).
 
 Usage: python tools/profile_trace_ops.py [batch] [mode]
-  mode: fwd | loss (default loss = fwd+loss)
+  mode: fwd | loss (default, fwd+loss) | bwd | infer (fused serving fwd+NMS)
 """
 import glob
 import gzip
@@ -83,7 +83,21 @@ def main(batch=32, mode="loss", imgsz=640):
                "mask_gt": mask}
     step = jnp.int32(0)
 
-    if mode == "fwd":
+    if mode == "infer":
+        from mgdt_yolo_tpu.ops.nms import non_max_suppression
+        mhf = DetectionModel("mspa_c2f_gd_tood_yolov8.yaml",
+                             dtype=jnp.bfloat16).fuse()
+        variables = jax.device_put(mhf.variables)
+        xb = img.astype(jnp.bfloat16)
+
+        @jax.jit
+        def prog(vs, x):
+            decoded, _ = mhf.model.apply(vs, x, train=False)
+            return non_max_suppression(decoded, conf_thres=0.25,
+                                       iou_thres=0.7, max_det=300,
+                                       pre_topk=1024)
+        run = lambda: prog(variables, xb)
+    elif mode == "fwd":
         @jax.jit
         def prog(params, bs, img):
             out, upd = mh.model.apply({"params": params, "batch_stats": bs},
