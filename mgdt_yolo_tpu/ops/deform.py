@@ -169,9 +169,9 @@ def modulated_deform_conv2d_patch(x: jnp.ndarray, offset: jnp.ndarray,
     into (a) a static im2col — M*M shifted slices, pure HBM bandwidth — and
     (b) per-(pixel, tap) bilinear one-hot weights contracted against the
     window on the MXU. Bit-equal to the exact path whenever every tap's
-    bilinear support lies inside its window; larger offsets clamp to the
-    window edge (the serving trade-off; training and parity testing use the
-    unbounded `exact` path — see `method` in modulated_deform_conv2d).
+    bilinear support lies inside its +/-2 px reach; larger offsets clamp to
+    the tap's reach (the serving trade-off; training and parity testing use
+    the unbounded `exact` path — see `method` in modulated_deform_conv2d).
     """
     B, H, W, Cin = x.shape
     kh, kw, _, Cout = weight.shape
@@ -218,9 +218,12 @@ def modulated_deform_conv2d_patch(x: jnp.ndarray, offset: jnp.ndarray,
 
     # per-axis one-hot bilinear weights, outer-product combined to M*M slots
     # (weights computed f32, stored/contracted in the compute dtype — the
-    # big (B,P,K,M,M) intermediate is bandwidth, not precision, critical)
-    def axis_w(r):
-        r0 = jnp.clip(jnp.floor(r), 0, M - 2)
+    # big (B,P,K,M,M) intermediate is bandwidth, not precision, critical).
+    # The floor clamps PER TAP to [t, t+4] — each tap's own +/-2 px reach —
+    # matching ops/pallas_deform._fields so the XLA fallback and the Pallas
+    # kernel share one windowed semantics (and one differentiable reference).
+    def axis_w(r, t):
+        r0 = jnp.clip(jnp.floor(r), t.reshape(1, 1, K), t.reshape(1, 1, K) + 4.0)
         f = jnp.clip(r - r0, 0.0, 1.0)
         slots = jnp.arange(M, dtype=f32)
         oh0 = (slots == r0[..., None]).astype(f32)
@@ -229,8 +232,8 @@ def modulated_deform_conv2d_patch(x: jnp.ndarray, offset: jnp.ndarray,
 
     wk = mask.reshape(B, P, K).astype(f32) * valid
     w2d = jnp.einsum("bpki,bpkj->bpkij",
-                     (axis_w(ry) * wk[..., None]).astype(x.dtype),
-                     axis_w(rx).astype(x.dtype)).reshape(B, P, K, M * M)
+                     (axis_w(ry, ty) * wk[..., None]).astype(x.dtype),
+                     axis_w(rx, tx).astype(x.dtype)).reshape(B, P, K, M * M)
     sampled = jnp.einsum("bpkq,bpcq->bpkc", w2d, patch)
     out = jnp.einsum("bpkc,kco->bpo", sampled,
                      weight.reshape(K, Cin, Cout).astype(sampled.dtype),

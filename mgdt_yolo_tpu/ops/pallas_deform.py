@@ -14,18 +14,26 @@ chunk on v5e). This kernel keeps the whole window computation in VMEM:
     out block    (1, RB, W, Cout) — NHWC conv output (taps are contracted
                                     with the weight in-kernel; the K*C
                                     accumulator lives only in VMEM).
-  body: python-unrolled loop over the 64 window slots (qy, qx):
-    w_q  = [(y0==qy)(1-fy) + (y0+1==qy)fy] * [same for x] * wv   (K,RB,W)
-    acc += repeat(w_q, C) * tile(x-slice, K)                      (K*C,RB,W)
-  i.e. the bilinear one-hot contraction happens slot-by-slot against
-  VMEM-resident data; nothing data-dependent ever indexes memory.
+  body: python-unrolled PER-TAP window walk. Tap k sits at grid position
+  (ty, tx) = divmod(k, 3) inside the window, and its bilinear floor is
+  clamped to [ty, ty+4] x [tx, tx+4] (per-tap +/-2 px reach, `_fields`),
+  so only the 36 static slots [ty, ty+5] x [tx, tx+5] can ever fire:
+    for each tap k:  acc[kC:(k+1)C] += (ay*ax*wv)[None] * x-slice  (C,RB,W)
+  i.e. 9 taps x 36 slots x C-wide FMAs = 0.56x the shared 64-slot walk's
+  64 x K*C — and no per-slot K-times slab concat. Measured 1.72x the
+  shared-slot kernel at b512 80^2 C64 (tools/proto_deform_tapwalk.py);
+  runtime slot-skipping was tried and rejected instead (Mosaic lowers
+  @pl.when around vector code to masked execution, proto_deform_slot_skip).
 
 The caller (ops/deform.py, method='pallas') precomputes the per-tap
 floor/frac/mask fields (cheap elementwise XLA); the shared-weight GEMM
 out[p,o] = acc[kc,p] . W[kc,o] runs on the MXU *inside* the kernel
 (_kernel_fused), so the (B, K*C, H, W) tap tensor never reaches HBM and
-the output is written NHWC directly. Window coverage and clamping
-semantics are identical to method='patch'.
+the output is written NHWC directly. Sampling is exact for offsets within
++/-2 px of each tap's rest position (trained TOOD offsets sit well
+inside); larger offsets clamp to the tap's own reach — the same exactness
+domain as method='patch', whose out-of-window clamp is the shared 8x8
+window edge instead.
 """
 from __future__ import annotations
 
@@ -41,24 +49,31 @@ RB = 8         # output rows per grid step
 K = 9          # 3x3 taps
 
 
+def _tap_axis_weights(t: int, f0, frac):
+    """One-hot bilinear weights of one axis for tap-row/col t: slot q gets
+    (f0==q)*(1-frac) + (f0==q-1)*frac, for the 6 slots q in [t, t+5]."""
+    return [jnp.where(f0 == q, 1.0 - frac, 0.0) +
+            jnp.where(f0 == q - 1, frac, 0.0)
+            for q in range(t, t + 6)]
+
+
 def _acc_slots(slab, y0, fy, x0, fx, wv, C: int, W: int):
-    """Window-slot walk shared by the forward kernels: accumulate the
-    sampled modulated taps (K*C, RB, W) in f32 from VMEM-resident data."""
-    acc = jnp.zeros((K * C, RB, W), jnp.float32)
-    for q in range(M * M):
-        qy, qx = divmod(q, M)
-        ay = jnp.where(y0 == qy, 1.0 - fy, 0.0) + \
-            jnp.where(y0 == qy - 1, fy, 0.0)
-        ax = jnp.where(x0 == qx, 1.0 - fx, 0.0) + \
-            jnp.where(x0 == qx - 1, fx, 0.0)
-        w_q = ay * ax * wv                        # (K, RB, W)
-        xs = slab[:, qy:qy + RB, qx:qx + W]       # (C, RB, W) static slice
-        # k-major element repeat via outer-dim broadcast (pltpu.repeat tiles)
-        w_qx = jnp.broadcast_to(w_q[:, None], (K, C, RB, W)) \
-            .reshape(K * C, RB, W)
-        xs_t = jnp.concatenate([xs] * K, axis=0)  # (K*C, RB, W), k-major
-        acc = acc + w_qx.astype(jnp.float32) * xs_t.astype(jnp.float32)
-    return acc
+    """Per-tap static window walk: accumulate the sampled modulated taps
+    (K*C, RB, W) in f32 from VMEM-resident data (see module docstring)."""
+    accs = []
+    for k in range(K):
+        ty, tx = divmod(k, 3)
+        axs = _tap_axis_weights(tx, x0[k], fx[k])
+        acc = jnp.zeros((C, RB, W), jnp.float32)
+        for qy in range(ty, ty + 6):
+            ay = (jnp.where(y0[k] == qy, 1.0 - fy[k], 0.0) +
+                  jnp.where(y0[k] == qy - 1, fy[k], 0.0)) * wv[k]
+            for j, qx in enumerate(range(tx, tx + 6)):
+                w_q = (ay * axs[j]).astype(jnp.float32)      # (RB, W)
+                xs = slab[:, qy:qy + RB, qx:qx + W]          # (C, RB, W)
+                acc = acc + w_q[None] * xs.astype(jnp.float32)
+        accs.append(acc)
+    return jnp.concatenate(accs, axis=0)                     # (K*C, RB, W)
 
 
 def _kernel_fused(x_ref, y0_ref, fy_ref, x0_ref, fx_ref, wv_ref, w_ref,
@@ -93,28 +108,31 @@ def _fields(offset, mask, H, W):
     Returns (y0, fy, x0, fx, wv, pass_y, pass_x, valid): floor/frac per
     axis, modulation*validity, and the clip-pass indicators the backward
     needs (d fy / d off_y = 1 exactly where the frac survived its clips).
+    The floor is clamped PER TAP to [t, t+4] (t = the tap's window-grid
+    row/col), i.e. offsets clamp to each tap's own +/-2 px reach — this is
+    what lets the kernels walk only a tap's 36 reachable slots.
     """
     B = offset.shape[0]
     P = H * W
     f32 = jnp.float32
     gy, gx = jnp.meshgrid(jnp.arange(H, dtype=f32) - 1,
                           jnp.arange(W, dtype=f32) - 1, indexing="ij")
-    ty = (jnp.arange(K) // 3).astype(f32)
-    tx = (jnp.arange(K) % 3).astype(f32)
+    ty = (jnp.arange(K) // 3).astype(f32).reshape(1, 1, K)
+    tx = (jnp.arange(K) % 3).astype(f32).reshape(1, 1, K)
     off = offset.reshape(B, P, K, 2).astype(f32)
-    ry = ty.reshape(1, 1, K) + off[..., 0] + 2.0
-    rx = tx.reshape(1, 1, K) + off[..., 1] + 2.0
-    py = gy.reshape(1, P, 1) + ty.reshape(1, 1, K) + off[..., 0]
-    px = gx.reshape(1, P, 1) + tx.reshape(1, 1, K) + off[..., 1]
+    ry = ty + off[..., 0] + 2.0
+    rx = tx + off[..., 1] + 2.0
+    py = gy.reshape(1, P, 1) + ty + off[..., 0]
+    px = gx.reshape(1, P, 1) + tx + off[..., 1]
     valid = (py > -1.0) & (py < H) & (px > -1.0) & (px < W)
 
-    def fr(r):
-        r0 = jnp.clip(jnp.floor(r), 0, M - 2)
+    def fr(r, t):
+        r0 = jnp.clip(jnp.floor(r), t, t + 4.0)
         f = r - r0
         return r0, jnp.clip(f, 0.0, 1.0), (f >= 0.0) & (f <= 1.0)
 
-    y0, fy, pass_y = fr(ry)
-    x0, fx, pass_x = fr(rx)
+    y0, fy, pass_y = fr(ry, ty)
+    x0, fx, pass_x = fr(rx, tx)
     wv = mask.reshape(B, P, K).astype(f32) * valid
 
     def bkhw(a):  # (B, P, K) -> (B, K, H, W)
@@ -139,7 +157,8 @@ def modulated_deform_conv2d_pallas(x, offset, mask, weight, bias=None,
     """DCNv2 eval kernel: Pallas sampling + in-kernel MXU GEMM, NHWC out.
 
     Same signature/semantics as ops.deform.modulated_deform_conv2d_patch
-    (8x8 window, +/-2 px universal offset coverage, out-of-window clamp).
+    within the +/-2 px offset domain where both are exact; out-of-window
+    offsets clamp to the tap's own reach (see `_fields`).
     """
     B, H, W, Cin = x.shape
     kh, kw, _, Cout = weight.shape
@@ -173,13 +192,10 @@ def modulated_deform_conv2d_pallas(x, offset, mask, weight, bias=None,
     return out.astype(x.dtype)
 
 
-KB = 3         # taps per backward grid step (VMEM budget: K at once OOMs)
-
-
 def _bwd_kernel(x_ref, y0_ref, fy_ref, x0_ref, fx_ref, wv_ref, ds_ref,
                 s_ref, dx_ref, dfy_ref, dfx_ref, dwv_ref, *, C: int, W: int,
                 Wp: int):
-    """Backward of the sampling core, same VMEM window-slot walk as forward.
+    """Backward of the sampling core, same per-tap VMEM walk as forward.
 
     Per slot q the forward did  sampled[k,c] += w_q[k] * xs[c]  with
     w_q = ay(qy) * ax(qx) * wv.  Given ds = dL/dsampled this emits:
@@ -187,54 +203,68 @@ def _bwd_kernel(x_ref, y0_ref, fy_ref, x0_ref, fx_ref, wv_ref, ds_ref,
       dx[slot]  = sum_k w_q[k] * ds[k,c]          (overlap-add outside)
       sampled   = forward recompute (for dWeight; cheaper than saving the
                   (B, K*C, H, W) residual in HBM)
-    The grid's fastest dim walks K/KB tap chunks so per-step live buffers
-    fit scoped VMEM; the dx slab block's index map ignores that dim, so it
-    stays VMEM-resident and accumulates across the chunks.
+    The walk iterates the 64 absolute window slots; at each slot only the
+    taps whose per-tap 6x6 reach covers it contribute (~5 of 9 on
+    average), so the per-slot dx bucket is built from just those taps and
+    overlap-added once per slot. All K taps are handled in one grid step
+    (the per-tap walk's smaller live set fits scoped VMEM, unlike the old
+    shared-slot walk which needed K/3 tap-chunk grid passes).
     """
     r = pl.program_id(1)
-    kc = pl.program_id(2)
     y0 = y0_ref[0]
     fy = fy_ref[0]
     x0 = x0_ref[0]
     fx = fx_ref[0]
     wv = wv_ref[0]
-    ds = ds_ref[0].astype(jnp.float32).reshape(KB, C, RB, W)
+    ds = ds_ref[0].astype(jnp.float32).reshape(K, C, RB, W)
     slab = x_ref[0, :, pl.ds(pl.multiple_of(r * RB, 8), 2 * RB), :]
 
-    @pl.when(kc == 0)
-    def _():
-        dx_ref[0] = jnp.zeros_like(dx_ref[0])
+    # per-tap one-hot axis weights for the tap's 6 reachable slots
+    ays = {}
+    axs = {}
+    for k in range(K):
+        ty, tx = divmod(k, 3)
+        ays[k] = {ty + i: w for i, w in
+                  enumerate(_tap_axis_weights(ty, y0[k], fy[k]))}
+        axs[k] = {tx + i: w for i, w in
+                  enumerate(_tap_axis_weights(tx, x0[k], fx[k]))}
 
-    acc_s = jnp.zeros((KB, C, RB, W), jnp.float32)
+    acc_s = [jnp.zeros((C, RB, W), jnp.float32) for _ in range(K)]
     acc_dx = jnp.zeros((C, 2 * RB, Wp), jnp.float32)
-    acc_dfy = jnp.zeros((KB, RB, W), jnp.float32)
-    acc_dfx = jnp.zeros((KB, RB, W), jnp.float32)
-    acc_dwv = jnp.zeros((KB, RB, W), jnp.float32)
-    for q in range(M * M):
-        qy, qx = divmod(q, M)
-        ay = jnp.where(y0 == qy, 1.0 - fy, 0.0) + \
-            jnp.where(y0 == qy - 1, fy, 0.0)
-        ax = jnp.where(x0 == qx, 1.0 - fx, 0.0) + \
-            jnp.where(x0 == qx - 1, fx, 0.0)
-        w_q = ay * ax * wv                              # (KB, RB, W)
-        xs = slab[:, qy:qy + RB, qx:qx + W].astype(jnp.float32)
-        acc_s = acc_s + w_q[:, None] * xs[None]
-        dw_q = jnp.sum(ds * xs[None], axis=1)           # (KB, RB, W)
-        dxc = jnp.sum(w_q[:, None] * ds, axis=0)        # (C, RB, W)
-        acc_dx = acc_dx + jnp.pad(
-            dxc, ((0, 0), (qy, RB - qy), (qx, Wp - W - qx)))
-        d_ay = dw_q * ax * wv
-        d_ax = dw_q * ay * wv
-        acc_dfy = acc_dfy + d_ay * (jnp.where(y0 == qy - 1, 1.0, 0.0) -
-                                    jnp.where(y0 == qy, 1.0, 0.0))
-        acc_dfx = acc_dfx + d_ax * (jnp.where(x0 == qx - 1, 1.0, 0.0) -
-                                    jnp.where(x0 == qx, 1.0, 0.0))
-        acc_dwv = acc_dwv + dw_q * ay * ax
-    s_ref[0] = acc_s.reshape(KB * C, RB, W).astype(s_ref.dtype)
-    dx_ref[0] = dx_ref[0] + acc_dx.astype(dx_ref.dtype)
-    dfy_ref[0] = acc_dfy
-    dfx_ref[0] = acc_dfx
-    dwv_ref[0] = acc_dwv
+    acc_dfy = [jnp.zeros((RB, W), jnp.float32) for _ in range(K)]
+    acc_dfx = [jnp.zeros((RB, W), jnp.float32) for _ in range(K)]
+    acc_dwv = [jnp.zeros((RB, W), jnp.float32) for _ in range(K)]
+    for qy in range(M):
+        for qx in range(M):
+            hit = [k for k in range(K) if qy in ays[k] and qx in axs[k]]
+            if not hit:
+                continue
+            xs = slab[:, qy:qy + RB, qx:qx + W].astype(jnp.float32)
+            dxc = jnp.zeros((C, RB, W), jnp.float32)
+            for k in hit:
+                ay = ays[k][qy]
+                ax = axs[k][qx]
+                w_q = ay * ax * wv[k]                       # (RB, W)
+                acc_s[k] = acc_s[k] + w_q[None] * xs
+                dw_q = jnp.sum(ds[k] * xs, axis=0)          # (RB, W)
+                dxc = dxc + w_q[None] * ds[k]
+                d_ay = dw_q * ax * wv[k]
+                d_ax = dw_q * ay * wv[k]
+                acc_dfy[k] = acc_dfy[k] + d_ay * (
+                    jnp.where(y0[k] == qy - 1, 1.0, 0.0) -
+                    jnp.where(y0[k] == qy, 1.0, 0.0))
+                acc_dfx[k] = acc_dfx[k] + d_ax * (
+                    jnp.where(x0[k] == qx - 1, 1.0, 0.0) -
+                    jnp.where(x0[k] == qx, 1.0, 0.0))
+                acc_dwv[k] = acc_dwv[k] + dw_q * ay * ax
+            acc_dx = acc_dx + jnp.pad(
+                dxc, ((0, 0), (qy, RB - qy), (qx, Wp - W - qx)))
+    s_ref[0] = jnp.concatenate(acc_s, axis=0).astype(s_ref.dtype)
+    dx_ref[0] = acc_dx.astype(dx_ref.dtype)
+    stack = lambda a: jnp.concatenate([v[None] for v in a], axis=0)
+    dfy_ref[0] = stack(acc_dfy)
+    dfx_ref[0] = stack(acc_dfx)
+    dwv_ref[0] = stack(acc_dwv)
 
 
 def deform_sample_bwd(x, y0, fy, x0, fx, wv, dsampled,
@@ -249,9 +279,8 @@ def deform_sample_bwd(x, y0, fy, x0, fx, wv, dsampled,
     _, _, H, W = y0.shape
     assert Hp == H + 2 * RB and Wp == W + M - 1
     assert H % RB == 0
-    assert K % KB == 0
     R = H // RB
-    fspec = pl.BlockSpec((1, KB, RB, W), lambda b, r, kc: (b, kc, r, 0),
+    fspec = pl.BlockSpec((1, K, RB, W), lambda b, r: (b, 0, r, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, C=C, W=W, Wp=Wp),
@@ -263,21 +292,19 @@ def deform_sample_bwd(x, y0, fy, x0, fx, wv, dsampled,
             jax.ShapeDtypeStruct((B, K, H, W), jnp.float32),
         ),
         grid_spec=pl.GridSpec(
-            grid=(B, R, K // KB),
+            grid=(B, R),
             in_specs=[
-                pl.BlockSpec((1, C, Hp, Wp), lambda b, r, kc: (b, 0, 0, 0),
+                pl.BlockSpec((1, C, Hp, Wp), lambda b, r: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 fspec, fspec, fspec, fspec, fspec,
-                pl.BlockSpec((1, KB * C, RB, W),
-                             lambda b, r, kc: (b, kc, r, 0),
+                pl.BlockSpec((1, K * C, RB, W), lambda b, r: (b, 0, r, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((1, KB * C, RB, W),
-                             lambda b, r, kc: (b, kc, r, 0),
+                pl.BlockSpec((1, K * C, RB, W), lambda b, r: (b, 0, r, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, C, 2 * RB, Wp),
-                             lambda b, r, kc: (b * R + r, 0, 0, 0),
+                             lambda b, r: (b * R + r, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 fspec, fspec, fspec,
             ),
@@ -348,10 +375,11 @@ def modulated_deform_conv2d_pallas_vjp(x, offset, mask, weight, bias=None,
 
     Training-path replacement for mmcv's CUDA op (reference
     nn/modules/block.py:17): forward is `modulated_deform_conv2d_pallas`,
-    backward a second window-slot kernel (`deform_sample_bwd`), so neither
-    direction materializes the 8x8 im2col in HBM. Gradient semantics match
-    the XLA patch formulation (window clamp; clip-boundary subgradients as
-    in jnp.clip).
+    backward a second per-tap window-walk kernel (`deform_sample_bwd`), so
+    neither direction materializes the 8x8 im2col in HBM. Gradient
+    semantics match the XLA patch formulation on the shared +/-2 px
+    domain (per-tap window clamp; clip-boundary subgradients as in
+    jnp.clip).
     """
     out = _mdcv2_core(x, offset, mask, weight, interpret)
     if bias is not None:
