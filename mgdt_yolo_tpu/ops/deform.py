@@ -32,17 +32,22 @@ _LOGGED_PATHS: set = set()
 def _log_fast_path_once(method: str, train: bool) -> None:
     """Announce the clamped-window fast path the first time it is chosen.
 
-    The windowed kernels are exact only for offsets within +/-2 px (larger
-    offsets clamp to the window edge); `MGDT_DEFORM_EXACT=1` restores the
-    unbounded-offset reference semantics everywhere. See PARITY.md.
+    The windowed kernels are exact only while each tap's bilinear support
+    lies within that tap's own reach (floor clamped to [t, t+4] in window
+    coordinates, i.e. roughly [-2, +3) px around the tap's rest position);
+    offsets beyond a tap's reach clamp to it. `MGDT_DEFORM_EXACT=1`
+    restores the unbounded-offset reference semantics everywhere — for
+    TRAINING as well: on TPU, method='auto' + train selects the windowed
+    pallas_vjp kernel by default. See PARITY.md §2.14.
     """
     key = (method, train)
     if key not in _LOGGED_PATHS:
         _LOGGED_PATHS.add(key)
         logging.getLogger("mgdt_yolo_tpu").info(
-            "deform-conv %s path selected (%s): exact within the +/-2 px "
-            "offset window, clamped outside; MGDT_DEFORM_EXACT=1 to force "
-            "the unbounded path", method, "train" if train else "eval")
+            "deform-conv %s path selected (%s): exact within each tap's "
+            "per-tap reach (~+/-2 px), clamped to the tap's reach outside; "
+            "MGDT_DEFORM_EXACT=1 to force the unbounded path",
+            method, "train" if train else "eval")
 
 
 def modulated_deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
@@ -163,15 +168,20 @@ def modulated_deform_conv2d_patch(x: jnp.ndarray, offset: jnp.ndarray,
 
     Every tap of output pixel (i, j) samples near base (i-1, j-1)+tap, so an
     MxM window whose origin is a *static* function of the output grid covers
-    all taps for offsets within +/-2 px (corner taps bound the window;
-    center taps get +/-3). That turns the data-dependent
+    all taps for offsets within each tap's own reach: the bilinear floor is
+    clamped per tap to [t, t+4] window slots, i.e. the tap is exact for
+    offsets in roughly [-2, +3) px of its rest position and clamps beyond.
+    That turns the data-dependent
     gather (per-index-overhead bound on TPU: ~20 ns/row regardless of width)
     into (a) a static im2col — M*M shifted slices, pure HBM bandwidth — and
     (b) per-(pixel, tap) bilinear one-hot weights contracted against the
     window on the MXU. Bit-equal to the exact path whenever every tap's
-    bilinear support lies inside its +/-2 px reach; larger offsets clamp to
-    the tap's reach (the serving trade-off; training and parity testing use
-    the unbounded `exact` path — see `method` in modulated_deform_conv2d).
+    bilinear support lies inside its reach; larger offsets clamp to the
+    tap's reach. On TPU this windowed semantics is the default for BOTH
+    serving and training (method='auto' -> pallas / pallas_vjp); parity
+    tests and non-TPU training use the unbounded `exact` path, and
+    MGDT_DEFORM_EXACT=1 forces it everywhere — see `method` in
+    modulated_deform_conv2d and PARITY.md §2.14.
     """
     B, H, W, Cin = x.shape
     kh, kw, _, Cout = weight.shape

@@ -15,6 +15,14 @@ Semantics: identical to the shipped kernel for offsets within +/-2 px
 (where both are exact); offsets beyond that clamp to the tap's own 5x5
 reach instead of the shared 8x8 window — a different (tighter) clamp in
 the already-approximate regime.
+
+NOTE (post-landing): the per-tap walk WON this A/B (1.72x, 138->80 ms
+isolated b512 C64) and was merged into ops/pallas_deform.py — so the
+"baseline" PD.modulated_deform_conv2d_pallas below now IS the per-tap
+walk, and rerunning this script from HEAD compares the variant against
+itself (~1.0x). To reproduce the recorded 1.72x, check out the
+pre-tapwalk kernel (commit cited in PARITY.md §2.14) for the baseline
+side. Kept for the variant implementation + parity harness.
 """
 import sys, time, functools
 sys.path.insert(0, str(__import__('pathlib').Path(__file__).resolve().parents[1]))
