@@ -206,9 +206,11 @@ def _bwd_kernel(x_ref, y0_ref, fy_ref, x0_ref, fx_ref, wv_ref, ds_ref,
     The walk iterates the 64 absolute window slots; at each slot only the
     taps whose per-tap 6x6 reach covers it contribute (~5 of 9 on
     average), so the per-slot dx bucket is built from just those taps and
-    overlap-added once per slot. All K taps are handled in one grid step
-    (the per-tap walk's smaller live set fits scoped VMEM, unlike the old
-    shared-slot walk which needed K/3 tap-chunk grid passes).
+    overlap-added once per slot. All K taps are handled in one grid step;
+    the fully unrolled 64-slot walk makes Mosaic's stack scope large
+    (measured 18.4 MB at C=32, W=40 — past the 16 MB default scoped-vmem
+    limit), so the pallas_call raises `vmem_limit_bytes` explicitly
+    (v5e VMEM is 128 MB; see deform_sample_bwd).
     """
     r = pl.program_id(1)
     y0 = y0_ref[0]
@@ -274,6 +276,11 @@ def deform_sample_bwd(x, y0, fy, x0, fx, wv, dsampled,
     dx_parts is (B*R, C, 2*RB, Wp) of per-row-block slab gradients whose
     RB-row overlaps the caller folds back together (each output row gets
     contributions from exactly two consecutive row blocks).
+
+    The single-pass 9-tap walk needs more Mosaic stack scope than the
+    16 MB default scoped-vmem limit (18.4 MB at C=32/W=40, scaling ~C*W):
+    the call sets vmem_limit_bytes=100 MB, which covers the MGDT head
+    shapes through l-scale's 80x80 level on a 128 MB-VMEM v5e.
     """
     B, C, Hp, Wp = x.shape
     _, _, H, W = y0.shape
@@ -309,6 +316,8 @@ def deform_sample_bwd(x, y0, fy, x0, fx, wv, dsampled,
                 fspec, fspec, fspec,
             ),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, y0, fy, x0, fx, wv, dsampled)
 
