@@ -31,11 +31,14 @@ _setup_compilation_cache()
 
 from .nn.tasks import DetectionModel  # noqa: F401
 
-__all__ = ["DetectionModel", "YOLO", "__version__"]
+__all__ = ["DetectionModel", "YOLO", "NAS", "__version__"]
 
 
 def __getattr__(name):  # lazy: engine pulls in the full stack
     if name == "YOLO":
         from .engine.model import YOLO
         return YOLO
+    if name == "NAS":  # reference __init__.py:9 exports NAS at top level
+        from .nas import NAS
+        return NAS
     raise AttributeError(f"module 'mgdt_yolo_tpu' has no attribute {name!r}")
