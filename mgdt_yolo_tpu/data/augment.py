@@ -397,9 +397,27 @@ def copy_paste(img: np.ndarray, boxes: np.ndarray, cls: np.ndarray,
 
 
 class Albumentations:
-    """Optional albumentations color-space jitter (reference
-    augment.py:644-688): Blur/MedianBlur/ToGray/CLAHE at p=0.01 each. Inert
-    when the package is absent (it is not baked into this environment)."""
+    """Low-probability color-space jitter (reference augment.py:644-688):
+    Blur / MedianBlur / ToGray / CLAHE, each applied independently at
+    p=0.01 (the reference's RandomBrightnessContrast / RandomGamma /
+    ImageCompression entries are configured at p=0.0 — dead by
+    construction, deliberately not carried).
+
+    The reference delegates these four to the external `albumentations`
+    package; all four are plain cv2 one-liners, so this port implements
+    them natively and uses the package only as an override when it happens
+    to be installed (exact upstream sampling in that case). Native
+    parameter distributions mirror albumentations 1.0.3 defaults:
+    Blur/MedianBlur kernel odd in [3, 7], CLAHE clip_limit ~ U(1, 4) on an
+    8x8 tile grid. One preserved quirk: the reference hands cv2-loaded BGR
+    arrays to albumentations' RGB-assuming ops, so ToGray/CLAHE here use
+    the RGB2GRAY/RGB2LAB conversion codes on BGR data, matching upstream's
+    (mis)behavior rather than "fixing" the channel order.
+
+    None of the four moves pixels, so boxes/classes pass through unchanged
+    (the reference round-trips them through its bbox plumbing; p=0.01
+    color jitter never drops a label).
+    """
 
     def __init__(self, p: float = 1.0):
         self.p = p
@@ -412,15 +430,38 @@ class Albumentations:
                 T, bbox_params=A.BboxParams(format="yolo",
                                             label_fields=["class_labels"]))
         except ImportError:
-            pass
+            pass  # native cv2 path below
         except Exception as e:  # version mismatch etc.
             from ..utils import LOGGER
             LOGGER.info(f"albumentations disabled: {e}")
 
+    @staticmethod
+    def _native(img: np.ndarray, rng) -> np.ndarray:
+        """The four reference transforms in cv2, one independent p=0.01
+        draw each, in the reference's Compose order."""
+        if rng.random() < 0.01:  # A.Blur: box filter, odd ksize in [3, 7]
+            k = rng.choice([3, 5, 7])
+            img = cv2.blur(img, (k, k))
+        if rng.random() < 0.01:  # A.MedianBlur
+            k = rng.choice([3, 5, 7])
+            img = cv2.medianBlur(img, k)
+        if rng.random() < 0.01:  # A.ToGray (RGB weights on BGR data — see
+            g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)  # class docstring)
+            img = cv2.cvtColor(g, cv2.COLOR_GRAY2BGR)
+        if rng.random() < 0.01:  # A.CLAHE on the LAB L channel
+            clip = rng.uniform(1.0, 4.0)
+            clahe = cv2.createCLAHE(clipLimit=clip, tileGridSize=(8, 8))
+            lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+            lab[:, :, 0] = clahe.apply(lab[:, :, 0])
+            img = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+        return img
+
     def __call__(self, img, boxes_xyxy, cls, rng: Optional[random.Random] = None):
         rng = rng or random
-        if self.transform is None or not len(cls) or rng.random() >= self.p:
+        if not len(cls) or rng.random() >= self.p:
             return img, boxes_xyxy, cls
+        if self.transform is None:
+            return self._native(img, rng), boxes_xyxy, cls
         h, w = img.shape[:2]
         xywh_n = np.stack([(boxes_xyxy[:, 0] + boxes_xyxy[:, 2]) / 2 / w,
                            (boxes_xyxy[:, 1] + boxes_xyxy[:, 3]) / 2 / h,

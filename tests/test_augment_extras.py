@@ -3,6 +3,7 @@ augmentation propagation (reference augment.py:190-237, 604-641, 644-688,
 289-476)."""
 import random
 
+import cv2
 import numpy as np
 import pytest
 
@@ -60,16 +61,82 @@ class TestCopyPaste:
         assert len(out_boxes) == 1  # nothing pasted
 
 
-class TestAlbumentationsGate:
-    def test_inert_without_package(self):
+class _ScriptedRng:
+    """random.Random stand-in with a scripted random() sequence, for
+    force-firing the p=0.01 Albumentations draws deterministically."""
+
+    def __init__(self, seq):
+        self.seq = list(seq)
+        self._fallback = random.Random(0)
+
+    def random(self):
+        return self.seq.pop(0) if self.seq else self._fallback.random()
+
+    def choice(self, xs):
+        return xs[0]
+
+    def uniform(self, a, b):
+        return (a + b) / 2
+
+
+class TestAlbumentationsNative:
+    """The four reference transforms (Blur/MedianBlur/ToGray/CLAHE at
+    p=0.01, reference augment.py:657-664) implemented natively with cv2 —
+    the external package is only an optional override."""
+
+    def _img(self):
+        rng = np.random.default_rng(7)
+        return rng.integers(0, 255, (32, 32, 3), np.uint8)
+
+    def test_passthrough_when_no_draw_fires(self):
         a = Albumentations(p=1.0)
-        img = np.zeros((32, 32, 3), np.uint8)
+        img = self._img()
         boxes = np.array([[4, 4, 20, 20]], np.float32)
-        out_img, out_boxes, out_cls = a(img, boxes, np.zeros(1),
-                                        random.Random(0))
-        # albumentations isn't installed in this env: exact passthrough
+        # scripted: gate passes, all four p=0.01 draws miss
+        out_img, out_boxes, _ = a(img, boxes, np.zeros(1),
+                                  _ScriptedRng([0.0, 0.5, 0.5, 0.5, 0.5]))
         np.testing.assert_array_equal(out_img, img)
         np.testing.assert_array_equal(out_boxes, boxes)
+
+    def test_blur_fires_boxes_untouched(self):
+        a = Albumentations(p=1.0)
+        img = self._img()
+        boxes = np.array([[4, 4, 20, 20]], np.float32)
+        out_img, out_boxes, _ = a(img, boxes, np.zeros(1),
+                                  _ScriptedRng([0.0, 0.001, 0.5, 0.5, 0.5]))
+        assert out_img.shape == img.shape and out_img.dtype == np.uint8
+        assert not np.array_equal(out_img, img)
+        np.testing.assert_array_equal(out_boxes, boxes)  # color-only op
+        # box filter k=3 (choice -> first) == cv2.blur reference
+        np.testing.assert_array_equal(out_img, cv2.blur(img, (3, 3)))
+
+    def test_togray_equal_channels(self):
+        a = Albumentations(p=1.0)
+        out_img, _, _ = a(self._img(), np.zeros((1, 4), np.float32),
+                          np.zeros(1), _ScriptedRng([0.0, 0.5, 0.5, 0.001, 0.5]))
+        assert (out_img[..., 0] == out_img[..., 1]).all()
+        assert (out_img[..., 1] == out_img[..., 2]).all()
+
+    def test_clahe_changes_contrast(self):
+        a = Albumentations(p=1.0)
+        img = self._img() // 4 + 96  # low-contrast image
+        out_img, _, _ = a(img, np.zeros((1, 4), np.float32), np.zeros(1),
+                          _ScriptedRng([0.0, 0.5, 0.5, 0.5, 0.001]))
+        assert out_img.std() > img.std()  # CLAHE stretches local contrast
+
+    def test_deterministic_under_seeded_rng(self):
+        a = Albumentations(p=1.0)
+        img = self._img()
+        boxes = np.array([[4, 4, 20, 20]], np.float32)
+        fired = None
+        for seed in range(400):  # find a seed where some 1% draw fires
+            out, _, _ = a(img.copy(), boxes, np.zeros(1), random.Random(seed))
+            if not np.array_equal(out, img):
+                fired = seed
+                break
+        assert fired is not None, "no seed in 400 fired a 1% draw"
+        again, _, _ = a(img.copy(), boxes, np.zeros(1), random.Random(fired))
+        np.testing.assert_array_equal(out, again)
 
 
 class TestSegPoseAugmentPropagation:
