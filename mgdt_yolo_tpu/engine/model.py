@@ -79,7 +79,16 @@ class YOLO:
             ckpt = BaseTrainer.load_checkpoint(p)
             train_args = {}
             if meta_file.is_file():
-                train_args = json.loads(meta_file.read_text()).get("train_args", {})
+                meta = json.loads(meta_file.read_text())
+                train_args = meta.get("train_args", {})
+                # serve with the DCNv2 semantics the weights were trained
+                # under — the windowed TPU kernel and the unbounded exact
+                # path are NOT interchangeable on a trained checkpoint
+                # (measured mAP50-95 0.619 vs 0.362; README results table)
+                sem = meta.get("deform_semantics")
+                if sem in ("exact", "windowed"):
+                    from ..ops.deform import set_eval_semantics
+                    set_eval_semantics(sem)
             cfg = train_args.get("model") or "yolov8n.yaml"
             self.model = TASK_MAP[self.task][0](cfg)
             # prefer EMA weights like the reference (tasks.py:581)
@@ -90,6 +99,11 @@ class YOLO:
             self.overrides["model"] = cfg
         elif weights.endswith(".pt"):
             from ..utils.torch_import import load_torch_pt, load_torch_state_dict
+            # reference checkpoints are trained with unbounded mmcv DCNv2;
+            # the windowed TPU kernel costs them ~0.05 mAP50-95 (measured,
+            # README results table) — pin the exact path for them
+            from ..ops.deform import set_eval_semantics
+            set_eval_semantics("exact")
             sd, train_args = load_torch_pt(weights)
             cfg = train_args.get("model") or "yolov8n.yaml"
             self.model = TASK_MAP[self.task][0](cfg)
@@ -110,6 +124,10 @@ class YOLO:
             self.model.variables = {
                 "params": jax.device_get(trainer.state.ema_params),
                 "batch_stats": jax.device_get(trainer.state.batch_stats)}
+            # downstream val/predict in this process must use the DCNv2
+            # semantics the weights were just trained under
+            from ..ops.deform import set_eval_semantics, training_semantics
+            set_eval_semantics(training_semantics())
         return metrics
 
     def val(self, **kwargs):

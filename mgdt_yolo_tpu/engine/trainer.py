@@ -584,8 +584,13 @@ class BaseTrainer(CallbackMixin):
                 "step": int(state.step), "ema_updates": int(state.ema_updates),
                 "epoch": self.epoch, "best_fitness": float(self.best_fitness)}
         ocp.PyTreeCheckpointer().save(path, ckpt)
+        from ..ops.deform import training_semantics
         (self.wdir / f"{name}.json").write_text(json.dumps(
             {"epoch": self.epoch, "best_fitness": float(self.best_fitness),
+             # which DCNv2 semantics the weights were trained under —
+             # eval/serving must match it (engine/model.py pins the eval
+             # dispatch from this key; see ops/deform.py set_eval_semantics)
+             "deform_semantics": training_semantics(),
              "train_args": {k: str(v) for k, v in vars(self.args).items()}}))
 
     @staticmethod

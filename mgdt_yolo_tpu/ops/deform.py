@@ -28,6 +28,41 @@ import jax.numpy as jnp
 
 _LOGGED_PATHS: set = set()
 
+# Process-wide eval-semantics pin, set from checkpoint metadata at load time
+# (engine/model.py). The windowed kernels are only mAP-safe when serving
+# matches the semantics the weights were TRAINED under (measured: a
+# windowed-trained MGDT ckpt drops mAP50-95 0.619 -> 0.362 under exact eval
+# — tools/deform_window_audit.py / README results table). "auto" keeps the
+# default dispatch (windowed on TPU); "exact" pins the unbounded reference
+# semantics (for torch-imported or exact-trained weights); "windowed" is an
+# explicit alias of the default. Read at TRACE time, like MGDT_DEFORM_EXACT
+# (which still wins over this pin).
+_EVAL_SEMANTICS = "auto"
+
+
+def set_eval_semantics(sem: str) -> None:
+    """Pin eval dispatch: 'auto' | 'exact' | 'windowed' (trace-time)."""
+    global _EVAL_SEMANTICS
+    if sem not in ("auto", "exact", "windowed"):
+        raise ValueError(f"unknown deform semantics {sem!r}")
+    if sem != _EVAL_SEMANTICS:
+        logging.getLogger("mgdt_yolo_tpu").info(
+            "deform-conv eval semantics pinned to %r", sem)
+    _EVAL_SEMANTICS = sem
+
+
+def training_semantics() -> str:
+    """What method='auto' will select for TRAINING in this process:
+    'windowed' (the pallas_vjp per-tap-clamped kernel, TPU default) or
+    'exact' (unbounded reference semantics). Recorded into checkpoint
+    sidecar json by the trainer so eval can match it at load time."""
+    if os.environ.get("MGDT_DEFORM_EXACT"):
+        return "exact"
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("MGDT_DEFORM_NO_PALLAS")):
+        return "windowed"
+    return "windowed" if os.environ.get("MGDT_DEFORM_FAST_TRAIN") else "exact"
+
 
 def _log_fast_path_once(method: str, train: bool) -> None:
     """Announce the clamped-window fast path the first time it is chosen.
@@ -77,7 +112,8 @@ def modulated_deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarr
     if method == "auto":
         std = (stride == 1 and padding == 1 and dilation == 1
                and weight.shape[0] == weight.shape[1] == 3)
-        if std and not os.environ.get("MGDT_DEFORM_EXACT"):
+        if (std and not os.environ.get("MGDT_DEFORM_EXACT")
+                and not (not train and _EVAL_SEMANTICS == "exact")):
             from .pallas_deform import RB
             pallas_ok = (jax.default_backend() == "tpu"
                          and x.shape[1] % RB == 0

@@ -225,9 +225,10 @@ class TestDeformConv:
 
     def test_patch_method_matches_exact(self, rng):
         """The gather-free serving kernel equals the exact path for offsets
-        within the 8x8 window's universal +/-2 px coverage (trained TOOD
-        offset convs stay well inside), including image-border pixels and
-        modulation masks."""
+        within the 8x8 window's universal +/-2 px coverage (NOT guaranteed
+        for trained offsets — ~5% land outside on a windowed-trained MGDT
+        ckpt, which is why eval semantics are pinned per checkpoint),
+        including image-border pixels and modulation masks."""
         B, H, W, C, O = 2, 12, 10, 4, 6
         x = rng.standard_normal((B, H, W, C)).astype(np.float32)
         w = rng.standard_normal((3, 3, C, O)).astype(np.float32) * 0.2
@@ -274,6 +275,54 @@ class TestDeformConv:
         fast = ops.modulated_deform_conv2d(*args, method="auto", train=True)
         want = ops.modulated_deform_conv2d(*args, method="patch")
         np.testing.assert_allclose(np.asarray(fast), np.asarray(want))
+
+    def test_eval_semantics_pin(self, rng):
+        """set_eval_semantics('exact') makes method='auto' eval take the
+        unbounded path — the load-time pin that keeps serving faithful to
+        the semantics a checkpoint was TRAINED under (windowed-vs-exact is
+        mAP-destructive when mismatched; README results table)."""
+        from mgdt_yolo_tpu.ops import deform as D
+        B, H, W, C = 1, 8, 8, 2
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        w = rng.standard_normal((3, 3, C, 2)).astype(np.float32) * 0.2
+        # offsets far outside the window: exact and windowed must differ
+        offset = np.full((B, H, W, 18), 5.0, np.float32)
+        mask = np.ones((B, H, W, 9), np.float32)
+        args = (jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+                jnp.asarray(w))
+        exact = np.asarray(ops.modulated_deform_conv2d(*args, method="exact"))
+        windowed = np.asarray(ops.modulated_deform_conv2d(*args,
+                                                          method="patch"))
+        assert np.abs(exact - windowed).max() > 1e-3  # the pin matters
+        try:
+            D.set_eval_semantics("exact")
+            pinned = np.asarray(ops.modulated_deform_conv2d(
+                *args, method="auto", train=False))
+            np.testing.assert_allclose(pinned, exact, atol=1e-6)
+            # training dispatch is NOT affected by the eval pin
+            D.set_eval_semantics("windowed")
+            free = np.asarray(ops.modulated_deform_conv2d(
+                *args, method="auto", train=False))
+            np.testing.assert_allclose(free, windowed, atol=1e-6)
+        finally:
+            D.set_eval_semantics("auto")
+        with pytest.raises(ValueError):
+            D.set_eval_semantics("bogus")
+
+    def test_training_semantics_reporting(self, monkeypatch):
+        """training_semantics() mirrors the auto train dispatch: 'exact' on
+        CPU, 'windowed' under MGDT_DEFORM_FAST_TRAIN, 'exact' when
+        MGDT_DEFORM_EXACT overrides everything."""
+        from mgdt_yolo_tpu.ops import deform as D
+        monkeypatch.delenv("MGDT_DEFORM_EXACT", raising=False)
+        monkeypatch.delenv("MGDT_DEFORM_FAST_TRAIN", raising=False)
+        import jax
+        want = "windowed" if jax.default_backend() == "tpu" else "exact"
+        assert D.training_semantics() == want
+        monkeypatch.setenv("MGDT_DEFORM_FAST_TRAIN", "1")
+        assert D.training_semantics() == "windowed"
+        monkeypatch.setenv("MGDT_DEFORM_EXACT", "1")
+        assert D.training_semantics() == "exact"
 
 
 class TestBlockedNMS:

@@ -181,3 +181,32 @@ class TestDonationGate:
         expected = (None if "axon"
                     in jax.devices()[0].client.platform_version else (0,))
         assert kw.get("donate_argnums") == expected
+
+
+def test_ckpt_records_and_pins_deform_semantics(tmp_path):
+    """The trainer sidecar json records which DCNv2 semantics training used
+    (ops/deform.py training_semantics), and YOLO(ckpt) pins eval dispatch
+    to match — windowed/exact kernels are not interchangeable on a trained
+    checkpoint (mAP50-95 0.619 vs 0.362 measured; README results table)."""
+    import json
+
+    from mgdt_yolo_tpu.engine.model import YOLO
+    from mgdt_yolo_tpu.ops import deform as D
+
+    m = YOLO("yolov8n.yaml")
+    m.train(data="synthetic", epochs=1, imgsz=64, batch=8, workers=2,
+            project=str(tmp_path), name="sem", val=False, plots=False)
+    wdir = tmp_path / "sem" / "weights"
+    meta = json.loads((wdir / "last.json").read_text())
+    assert meta["deform_semantics"] == D.training_semantics()
+    try:
+        # simulate loading a checkpoint trained under the OTHER semantics
+        flipped = ("exact" if meta["deform_semantics"] == "windowed"
+                   else "windowed")
+        meta["deform_semantics"] = flipped
+        (wdir / "last.json").write_text(json.dumps(meta))
+        D.set_eval_semantics("auto")
+        YOLO(str(wdir / "last"))
+        assert D._EVAL_SEMANTICS == flipped
+    finally:
+        D.set_eval_semantics("auto")
