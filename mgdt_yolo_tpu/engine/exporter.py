@@ -7,8 +7,8 @@ oriented (TensorRT, CoreML, NCNN...); the TPU-native equivalents are:
   (decode included) — loadable by any XLA runtime, the analog of
   torchscript/pnnx in the fork's deploy path (nn/pnnx_conver.py).
 - npz: flat name->array weights for interop.
-- saved_model / tflite: via jax2tf when TensorFlow is present (gated —
-  this image ships no TF).
+- saved_model / tflite: via jax2tf (TF 2.21 is present; both legs are
+  executed + reload-parity-tested in tests/test_export.py).
 
 Each export writes a metadata.json (imgsz, nc, stride, names) mirroring the
 reference's metadata attachment (exporter.py yaml_save of args).

@@ -46,6 +46,33 @@ class AutoBackend:
                 self.kind = "stablehlo"
                 from ..engine.exporter import load_stablehlo
                 self._fn = load_stablehlo(str(p))
+            elif p.suffix == ".tflite":
+                # reference AutoBackend's tflite leg (nn/autobackend.py:177)
+                self.kind = "tflite"
+                import tensorflow as tf
+                interp = tf.lite.Interpreter(model_path=str(p))
+                interp.allocate_tensors()
+                inp = interp.get_input_details()[0]
+                out = interp.get_output_details()[0]
+
+                def run_tflite(img):
+                    img = np.asarray(img, np.float32)
+                    if list(img.shape) != list(inp["shape"]):
+                        interp.resize_tensor_input(inp["index"], img.shape)
+                        interp.allocate_tensors()
+                    interp.set_tensor(inp["index"], img)
+                    interp.invoke()
+                    return interp.get_tensor(out["index"])
+                self._fn = run_tflite
+            elif p.is_dir() and (p / "saved_model.pb").is_file():
+                # reference AutoBackend's saved_model leg (autobackend.py:169)
+                self.kind = "saved_model"
+                import tensorflow as tf
+                module = tf.saved_model.load(str(p))
+
+                def run_sm(img):
+                    return module.f(np.asarray(img, np.float32)).numpy()
+                self._fn = run_sm
             elif p.suffix == ".npz":  # Exporter.export_npz weight archive
                 yaml_file = (m.get("model_yaml") if meta.is_file() else None)
                 if not yaml_file:

@@ -69,6 +69,49 @@ def test_npz_reload_matches_live(exported):
     backend.warmup(batch=1)
 
 
+@pytest.fixture(scope="module")
+def tf_exported(exported):
+    """saved_model + tflite legs (reference exporter.py:77-91 rows 7/10),
+    executed for real — TF 2.21 ships in this image."""
+    pytest.importorskip("tensorflow")
+    m, arts = exported
+    out = arts["stablehlo"].parent
+    sm = Path(m.export(format="saved_model", imgsz=IMGSZ,
+                       project=str(out))[0])
+    tfl = Path(m.export(format="tflite", imgsz=IMGSZ, project=str(out))[0])
+    return m, sm, tfl
+
+
+def test_saved_model_reload_matches_live(tf_exported):
+    """jax2tf saved_model round-trip: AutoBackend reload parity vs the live
+    flax forward (reference AutoBackend saved_model leg, autobackend.py:169)."""
+    m, sm, _ = tf_exported
+    backend = AutoBackend(str(sm), imgsz=IMGSZ)
+    assert backend.kind == "saved_model"
+    assert backend.names == m.model.names
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 1, (1, IMGSZ, IMGSZ, 3)).astype(np.float32)
+    got = backend(x)
+    want = _live(m, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_tflite_reload_matches_live(tf_exported):
+    """TFLite converter output runs under tf.lite.Interpreter and matches
+    the live forward (reference AutoBackend tflite leg, autobackend.py:177)."""
+    m, _, tfl = tf_exported
+    backend = AutoBackend(str(tfl), imgsz=IMGSZ)
+    assert backend.kind == "tflite"
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (1, IMGSZ, IMGSZ, 3)).astype(np.float32)
+    got = backend(x)
+    want = _live(m, x)
+    assert got.shape == want.shape
+    # TFLite kernels are not bit-exact vs XLA; boxes/scores agree loosely
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-2)
+
+
 def test_unsupported_source_raises(tmp_path):
     bad = tmp_path / "weights.bin"
     bad.write_bytes(b"xx")
