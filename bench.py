@@ -11,6 +11,14 @@ Timing protocol: the axon tunnel makes block_until_ready return early
 jax.device_get on the last output; windows repeat until the two fastest agree
 within 2% (min-of-windows filters host/tunnel jitter and is reproducible
 run-to-run, unlike a mean over noisy windows).
+
+Weights/inputs (r4, VERDICT weak #6): when the synthetic-trained MGDT
+checkpoint exists (runs/detect/ab_windowed/weights/best, the 100-epoch
+recipe in README) it is loaded (EMA weights) and the input batch is drawn
+from SyntheticDetectionDataset at 640px — so NMS/decode see realistic
+detection density instead of an untrained model on uniform noise. Falls
+back to random init + noise when no checkpoint is present (fresh clone).
+MGDT_BENCH_CKPT overrides the checkpoint path ("" forces random).
 """
 import json
 import sys
@@ -33,7 +41,19 @@ def main():
     # HBM (measured: b128 852, b256 1432, b384 1498, b512 1556 img/s; pre-
     # kernel, b256 used to LOSE to b128 on memory pressure; post fused-GEMM
     # re-probe: b512 1898.7 > b768 1854 > b640 1833 — still the peak)
-    mh = DetectionModel("mspa_c2f_gd_tood_yolov8.yaml", dtype=jnp.bfloat16).fuse()
+    mh = DetectionModel("mspa_c2f_gd_tood_yolov8.yaml", dtype=jnp.bfloat16)
+    import os
+    ckpt = os.environ.get(
+        "MGDT_BENCH_CKPT", str(Path(__file__).parent /
+                               "runs/detect/ab_windowed/weights/best"))
+    weights = "random"
+    if ckpt and Path(ckpt).is_dir():
+        from mgdt_yolo_tpu.engine.trainer import BaseTrainer
+        ck = BaseTrainer.load_checkpoint(Path(ckpt))
+        mh.variables = {"params": ck.get("ema_params") or ck["params"],
+                        "batch_stats": ck.get("batch_stats", {})}
+        weights = "trained"
+    mh = mh.fuse()
     # device-resident params: host (numpy) variables would be re-uploaded on
     # every dispatch (~5 MB fused tree through the 37 MB/s tunnel)
     variables = jax.device_put(mh.variables)
@@ -44,9 +64,18 @@ def main():
         return non_max_suppression(decoded, conf_thres=0.25, iou_thres=0.7,
                                    max_det=300, pre_topk=1024)
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(0, 1, (batch, imgsz, imgsz, 3)).astype(np.float32),
-                    dtype=jnp.bfloat16)
+    if weights == "trained":
+        # realistic detection density: synthetic scenes like the ones the
+        # checkpoint was trained on (n distinct images, tiled to the batch)
+        from mgdt_yolo_tpu.data.dataset import SyntheticDetectionDataset
+        ds = SyntheticDetectionDataset(n=64, imgsz=imgsz, nc=2, seed=7)
+        tile = np.stack([ds[i]["img"][..., ::-1] for i in range(len(ds))])
+        reps = (batch + len(ds) - 1) // len(ds)
+        xh = np.tile(tile, (reps, 1, 1, 1))[:batch].astype(np.float32) / 255.0
+    else:
+        rng = np.random.default_rng(0)
+        xh = rng.uniform(0, 1, (batch, imgsz, imgsz, 3)).astype(np.float32)
+    x = jnp.asarray(xh, dtype=jnp.bfloat16)
 
     def sync(out):
         jax.device_get(out[0].ravel()[:1])
@@ -76,7 +105,8 @@ def main():
         if ref_ips:
             vs_baseline = ips / ref_ips
     print(json.dumps({"metric": "mgdt_640px_infer_throughput", "value": round(ips, 2),
-                      "unit": "images/sec", "vs_baseline": round(vs_baseline, 2)}))
+                      "unit": "images/sec", "vs_baseline": round(vs_baseline, 2),
+                      "weights": weights}))
 
 
 if __name__ == "__main__":

@@ -239,7 +239,7 @@ def non_max_suppression(prediction: jnp.ndarray, conf_thres: float = 0.25,
                         iou_thres: float = 0.45, agnostic: bool = False,
                         multi_label: bool = False, max_det: int = 300,
                         pre_topk: int = 1024, nc: int | None = None,
-                        return_idx: bool = False, block: int = 0):
+                        return_idx: bool = False, block: int = 256):
     """Batched NMS over raw head output.
 
     Args:
@@ -251,6 +251,12 @@ def non_max_suppression(prediction: jnp.ndarray, conf_thres: float = 0.25,
         det: (B, max_det, 6), counts: (B,) int32
         [, anchor_idx (B, max_det) int32 when return_idx — source anchor of
          each kept row, -1 padding].
+
+    block=256 default (r4): at realistic trained-model detection density
+    the monolithic 1024² fixpoint costs 45 ms of a 268 ms b512 batch (its
+    data-dependent sweep count was near-zero on the random-weight noise
+    the earlier benches used); the blocked walk is bit-identical (asserted
+    on-chip) and cuts that to 29 ms. block=0 restores the monolith.
     """
     pred = jnp.transpose(prediction, (0, 2, 1))  # (B, A, 4+nc)
     nc = nc or (pred.shape[-1] - 4)
