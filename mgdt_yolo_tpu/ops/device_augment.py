@@ -3,15 +3,41 @@ HSV, fused into the jitted train step.
 
 The reference runs mosaic/affine/HSV on host CPU workers
 (yolo/data/augment.py) — on a TPU that pipeline is host-bound. This module
-is the TPU-native redesign (SURVEY §7 step 10): the mosaic canvas is
-composed with dynamic_update_slice pastes, and the affine warp exploits the
-fork's default hyp (degrees = shear = perspective = 0, augment.py defaults)
-to become an AXIS-ALIGNED scale+translate — which factors into two
-per-image bilinear interpolation-matrix matmuls that run on the MXU instead
-of an irregular gather. Flips + HSV + /255 normalization reuse the fused
-kernel in ops/pallas_image.py. Labels ride along in-graph with the same
-transforms; survivors are re-masked with the reference's box_candidates
-rule (augment.py:469-476).
+is the TPU-native redesign (SURVEY §7 step 10).
+
+The r4 formulation composes the mosaic and the affine warp in ONE pass of
+per-tile interpolation-matrix matmuls, with no intermediate canvas at all.
+Two facts make this exact:
+
+1. The fork's default hyp (degrees = shear = perspective = 0,
+   augment.py defaults) makes the warp AXIS-ALIGNED scale+translate, which
+   factors into separable row/column bilinear-weight matmuls on the MXU.
+2. Mosaic paste-overwrite composition is value-equivalent to a DISJOINT
+   quadrant partition: tile k's pasted rect only intersects other tiles'
+   quadrants in its 114-pad region, and 114 is also the canvas fill, so
+   "last paste wins" never changes a pixel's value outside tile k's own
+   content-in-quadrant rect. Therefore
+       warped = sum_k  Wy_k @ tile_k @ Wx_k^T  +  114 * (1 - cov)
+   where Wy_k/Wx_k are the bilinear weight matrices evaluated against tile
+   k's content rows/cols (shift folded in), masked to the quadrant ∩
+   reference-2s-crop interval, and cov = sum_k rowcov_k ⊗ colcov_k is the
+   total sampled weight mass (everything unsampled is reference pad 114).
+
+The previous revision composed a (3s, 3s) uint8 canvas with vmapped
+dynamic_update_slice pastes — XLA lowers batched scatter to a sequential
+while loop per paste, and the hbm ledger measured 256.7 MB/img at 640px
+with 48% of it in five scatter-whiles. This formulation replaces ~19
+GFLOP/img of canvas-warp matmuls with ~12.6 GFLOP/img of tile-warp
+matmuls and removes the canvas traffic entirely.
+
+The non-mosaic ("solo") branch is the k=3 term with centered offsets and
+the other three terms weight-masked to zero — no second canvas, no
+full-image select.
+
+Flips + HSV + /255 normalization reuse the fused kernel in
+ops/pallas_image.py. Labels ride along in-graph with the same transforms;
+survivors are re-masked with the reference's box_candidates rule
+(augment.py:469-476).
 
 Everything is keyed by a single jax.random key folded with the step
 counter, so augmentation is deterministic given (seed, step) and needs no
@@ -20,63 +46,12 @@ host-side RNG at all.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
 FILL = 114.0
-
-
-def _paste(canvas, tile, oy, ox):
-    """dynamic_update_slice paste of a full (s, s, 3) tile."""
-    return jax.lax.dynamic_update_slice(canvas, tile, (oy, ox, 0))
-
-
-def _mosaic_one(imgs, hws, boxes, labels, mask, picks, center, s):
-    """Compose one 3s x 3s mosaic canvas (origin-shifted by s/2 so all tile
-    offsets are in-bounds) + merged padded labels.
-
-    imgs: (B, s, s, 3) uint8 top-left-anchored content with 114 pad;
-    picks: (4,) int32 batch indices (picks[0] = the image itself);
-    center: (2,) float mosaic center in [s/2, 3s/2).
-    Returns canvas (3s, 3s, 3) uint8, boxes (4G, 4) in canvas coords,
-    labels (4G,), mask (4G,).
-    """
-    off = s // 2  # canvas origin shift
-    xc = center[0].astype(jnp.int32)
-    yc = center[1].astype(jnp.int32)
-    canvas = jnp.full((3 * s, 3 * s, 3), jnp.uint8(FILL), jnp.uint8)
-    out_boxes, out_labels, out_mask = [], [], []
-    for k in range(4):
-        i = picks[k]
-        tile = imgs[i]
-        h = hws[i, 0].astype(jnp.int32)
-        w = hws[i, 1].astype(jnp.int32)
-        if k == 0:      # top-left: image's (h, w) corner sits at (yc, xc)
-            oy, ox = yc - h, xc - w
-        elif k == 1:    # top-right: bottom-left corner at (yc, xc)
-            oy, ox = yc - h, xc
-        elif k == 2:    # bottom-left: top-right corner at (yc, xc)
-            oy, ox = yc, xc - w
-        else:           # bottom-right: top-left corner at (yc, xc)
-            oy, ox = yc, xc
-        # pad regions of earlier tiles only bleed into LATER tiles' regions
-        # (paste order 0..3) or into 114-filled canvas, so whole-tile pastes
-        # reproduce the reference's cropped placement exactly
-        canvas = _paste(canvas, tile, oy + off, ox + off)
-        shift = jnp.stack([ox, oy, ox, oy]).astype(jnp.float32)
-        out_boxes.append(boxes[i] + shift[None])
-        out_labels.append(labels[i])
-        out_mask.append(mask[i])
-    return (canvas, jnp.concatenate(out_boxes), jnp.concatenate(out_labels),
-            jnp.concatenate(out_mask))
-
-
-def _interp_matrix(src_coord, n_src):
-    """(n_out,) fractional source coords -> (n_out, n_src) bilinear weights."""
-    k = jnp.arange(n_src, dtype=jnp.float32)
-    return jnp.clip(1.0 - jnp.abs(k[None, :] - src_coord[:, None]), 0.0, None)
 
 
 @partial(jax.jit, static_argnames=("imgsz", "max_out"))
@@ -103,88 +78,129 @@ def device_augment(batch: Dict[str, jnp.ndarray], key: jnp.ndarray,
     hws = batch["img_hw"].astype(jnp.float32)
     k_pick, k_center, k_mosaic, k_scale, k_tx, k_ty, k_flip, k_hsv = \
         jax.random.split(key, 8)
+    off = s // 2  # raw-canvas origin shift vs reference-2s coordinates
 
-    # ---- mosaic (vectorized over the batch via vmap) ----
     picks = jnp.concatenate(
         [jnp.arange(B, dtype=jnp.int32)[:, None],
          jax.random.randint(k_pick, (B, 3), 0, B, jnp.int32)], axis=1)
     centers = jax.random.uniform(k_center, (B, 2), jnp.float32,
                                  s / 2, 2 * s - s / 2)
-    canvas, m_boxes, m_labels, m_mask = jax.vmap(
-        lambda p, c: _mosaic_one(imgs, hws, batch["gt_bboxes"].astype(jnp.float32),
-                                 batch["gt_labels"], batch["mask_gt"], p, c, s)
-    )(picks, centers)
-
     use_mosaic = jax.random.uniform(k_mosaic, (B,)) < mosaic_p
-    # non-mosaic branch: the single image centered on the canvas
+    # solo (non-mosaic) images warp themselves: every slot is the image
+    picks = jnp.where(use_mosaic[:, None], picks,
+                      jnp.arange(B, dtype=jnp.int32)[:, None])
+    xc = centers[:, 0].astype(jnp.int32)  # reference-2s coords
+    yc = centers[:, 1].astype(jnp.int32)
+
+    # per-tile content size + paste offsets (reference-2s coords, like the
+    # reference's mosaic: tile k's anchored corner sits at (yc, xc))
+    hk = hws[picks]  # (B, 4, 2) = (h, w) per slot
+    h = hk[..., 0].astype(jnp.int32)
+    w = hk[..., 1].astype(jnp.int32)
+    oy = jnp.stack([yc - h[:, 0], yc - h[:, 1], yc, yc], axis=1)  # (B, 4)
+    ox = jnp.stack([xc - w[:, 0], xc, xc - w[:, 2], xc], axis=1)
+
+    # ---- mosaic labels (tiny tensors) ----
+    shift = jnp.stack([ox, oy, ox, oy], axis=-1).astype(jnp.float32)
+    m_boxes = (batch["gt_bboxes"].astype(jnp.float32)[picks] +
+               shift[:, :, None, :]).reshape(B, 4 * G, 4)
+    m_labels = batch["gt_labels"][picks].reshape(B, 4 * G)
+    m_mask = batch["mask_gt"][picks].reshape(B, 4 * G)
+    # non-mosaic labels: the image itself centered on the 2s reference
+    # canvas (same coordinate convention as the mosaic terms)
     solo_off = jnp.stack([(3 * s - hws[:, 1]) / 2,
                           (3 * s - hws[:, 0]) / 2], axis=1)  # (B, 2) x, y
-    solo = jax.vmap(lambda i, o: _paste(
-        jnp.full((3 * s, 3 * s, 3), jnp.uint8(FILL), jnp.uint8), imgs[i],
-        o[1].astype(jnp.int32), o[0].astype(jnp.int32)))(
-        jnp.arange(B), solo_off)
     solo_boxes = jnp.concatenate(
         [batch["gt_bboxes"].astype(jnp.float32) +
          jnp.concatenate([solo_off, solo_off], 1)[:, None] -
-         jnp.float32(s // 2),  # canvas-coord convention of the mosaic branch
+         jnp.float32(off),
          jnp.zeros((B, 3 * G, 4), jnp.float32)], axis=1)
     solo_labels = jnp.concatenate(
         [batch["gt_labels"], jnp.zeros((B, 3 * G), batch["gt_labels"].dtype)], 1)
     solo_mask = jnp.concatenate(
         [batch["mask_gt"], jnp.zeros((B, 3 * G), bool)], axis=1)
-    canvas = jnp.where(use_mosaic[:, None, None, None], canvas, solo)
     m_boxes = jnp.where(use_mosaic[:, None, None], m_boxes, solo_boxes)
     m_labels = jnp.where(use_mosaic[:, None], m_labels, solo_labels)
     m_mask = jnp.where(use_mosaic[:, None], m_mask, solo_mask)
-
-    # reference-canvas crop: the reference composes on a 2s canvas, so
-    # content outside [0, 2s) (here [off, off+2s) after the origin shift)
-    # does not exist — warpAffine samples 114 there and _cat_labels clips
-    # mosaic boxes to [0, 2s]. Tiles pasted whole on the 3s canvas can
-    # leave real pixels (and box extents) in that band; mask them to FILL
-    # and clip the boxes so the warp and the w_before keep-filter term
-    # match the reference exactly.
-    pos = jnp.arange(3 * s)
-    in_ref = (pos >= s // 2) & (pos < s // 2 + 2 * s)  # canvas origin = s//2
-    canvas = jnp.where((in_ref[:, None] & in_ref[None, :])[None, :, :, None],
-                       canvas, jnp.uint8(FILL))
     m_boxes = m_boxes.clip(0.0, 2.0 * s)  # reference-coord clip pre-warp
 
-    # ---- separable scale+translate warp (MXU matmuls) ----
+    # ---- fused mosaic + scale/translate warp (per-tile MXU matmuls) ----
     # reference mapping (augment.py:289-476 with degrees=shear=persp=0,
     # border=-s/2): dst = sf * (src - s) + t, t ~ U(0.5-tr, 0.5+tr) * s
-    # => src(dst) = (dst - t)/sf + s; our canvas origin adds +s/2.
+    # => src(dst) = (dst - t)/sf + s; raw-canvas coords add +s//2.
     sf = jax.random.uniform(k_scale, (B,), jnp.float32, 1 - scale, 1 + scale)
     tx = jax.random.uniform(k_tx, (B,), jnp.float32,
                             (0.5 - translate) * s, (0.5 + translate) * s)
     ty = jax.random.uniform(k_ty, (B,), jnp.float32,
                             (0.5 - translate) * s, (0.5 + translate) * s)
     dst = jnp.arange(s, dtype=jnp.float32)
-    src_x = (dst[None] - tx[:, None]) / sf[:, None] + s + s // 2  # (B, s)
-    src_y = (dst[None] - ty[:, None]) / sf[:, None] + s + s // 2
-    Wx = jax.vmap(lambda c: _interp_matrix(c, 3 * s))(src_x)  # (B, s, 3s)
-    Wy = jax.vmap(lambda c: _interp_matrix(c, 3 * s))(src_y)
-    cf = canvas.astype(jnp.bfloat16)
-    t1 = jnp.einsum("bik,bkwc->biwc", Wy.astype(jnp.bfloat16), cf)  # rows
-    warped = jnp.einsum("bjw,biwc->bijc", Wx.astype(jnp.bfloat16), t1)
-    # out-of-range rows/cols have all-zero weights -> 0; reference pads 114
-    cov = jnp.einsum("bik->bi", Wy)[:, :, None, None] * \
-        jnp.einsum("bjw->bj", Wx)[:, None, :, None]
-    warped = warped.astype(jnp.float32) + (1.0 - jnp.clip(cov, 0, 1)) * FILL
+    src_x = (dst[None] - tx[:, None]) / sf[:, None] + s + off  # (B, s) raw
+    src_y = (dst[None] - ty[:, None]) / sf[:, None] + s + off
+
+    # raw-canvas paste offsets + sampled-region bounds per tile: region =
+    # content rows/cols ∩ tile k's quadrant ∩ the reference 2s crop
+    # [off, off+2s). Quadrant boundaries sit at (yc, xc) raw = +off.
+    ycr, xcr = yc + off, xc + off
+    ref_hi = off + 2 * s
+    O_y = oy + off  # (B, 4)
+    O_x = ox + off
+    row_lo = jnp.stack([jnp.maximum(O_y[:, 0], off),
+                        jnp.maximum(O_y[:, 1], off), ycr, ycr], axis=1)
+    row_hi = jnp.stack([ycr, ycr,
+                        jnp.minimum(O_y[:, 2] + h[:, 2], ref_hi),
+                        jnp.minimum(O_y[:, 3] + h[:, 3], ref_hi)], axis=1)
+    col_lo = jnp.stack([jnp.maximum(O_x[:, 0], off), xcr,
+                        jnp.maximum(O_x[:, 2], off), xcr], axis=1)
+    col_hi = jnp.stack([xcr, jnp.minimum(O_x[:, 1] + w[:, 1], ref_hi),
+                        xcr, jnp.minimum(O_x[:, 3] + w[:, 3], ref_hi)], axis=1)
+    # solo: only the k=3 term fires, centered, full content, no quadrants
+    solo_oy = solo_off[:, 1].astype(jnp.int32)  # raw coords
+    solo_ox = solo_off[:, 0].astype(jnp.int32)
+    zero = jnp.zeros_like(ycr)
+
+    def pick_solo(mos, solo3, k):
+        return jnp.where(use_mosaic, mos[:, k], solo3 if k == 3 else zero)
+
+    hs = hws[:, 0].astype(jnp.int32)
+    ws = hws[:, 1].astype(jnp.int32)
+    warped = None
+    cov = None
+    u = jnp.arange(s, dtype=jnp.float32)
+    for k in range(4):
+        oyk = pick_solo(O_y, solo_oy, k)
+        oxk = pick_solo(O_x, solo_ox, k)
+        rlo = pick_solo(row_lo, solo_oy, k)
+        rhi = pick_solo(row_hi, solo_oy + hs, k)
+        clo = pick_solo(col_lo, solo_ox, k)
+        chi = pick_solo(col_hi, solo_ox + ws, k)
+        # bilinear weights against tile k's rows/cols, region-masked
+        pos_y = oyk[:, None].astype(jnp.float32) + u[None]  # (B, s) raw
+        pos_x = oxk[:, None].astype(jnp.float32) + u[None]
+        my = ((pos_y >= rlo[:, None]) & (pos_y < rhi[:, None]))
+        mx = ((pos_x >= clo[:, None]) & (pos_x < chi[:, None]))
+        Wy = jnp.clip(1.0 - jnp.abs(src_y[:, :, None] - pos_y[:, None, :]),
+                      0.0, None) * my[:, None, :]  # (B, s_out, s_tile)
+        Wx = jnp.clip(1.0 - jnp.abs(src_x[:, :, None] - pos_x[:, None, :]),
+                      0.0, None) * mx[:, None, :]
+        covk = (Wy.sum(-1)[:, :, None] * Wx.sum(-1)[:, None, :])
+        cov = covk if cov is None else cov + covk
+        tile = imgs[picks[:, k]].astype(jnp.bfloat16)  # (B, s, s, 3)
+        t1 = jnp.einsum("biu,buxc->bixc", Wy.astype(jnp.bfloat16), tile)
+        term = jnp.einsum("bjx,bixc->bijc", Wx.astype(jnp.bfloat16), t1)
+        warped = term if warped is None else warped + term
+    warped = warped.astype(jnp.float32) + \
+        (1.0 - jnp.clip(cov, 0, 1))[..., None] * FILL
     img_u8 = jnp.clip(jnp.round(warped), 0, 255).astype(jnp.uint8)
 
-    # boxes through the same map: dst = sf*(src - 3s/2... in canvas coords
-    # src_canvas = src + s//2, so dst = sf*(src_canvas - s//2 - s) + t
+    # boxes through the same map: src here are reference-2s coords, and
+    # dst = sf * (src - s) + t
     def warp_boxes(bx, sf_, tx_, ty_):
-        shift = jnp.float32(s + s // 2)
-        x1 = sf_ * (bx[:, 0] - shift + s // 2) + tx_
-        y1 = sf_ * (bx[:, 1] - shift + s // 2) + ty_
-        x2 = sf_ * (bx[:, 2] - shift + s // 2) + tx_
-        y2 = sf_ * (bx[:, 3] - shift + s // 2) + ty_
+        x1 = sf_ * (bx[:, 0] - s) + tx_
+        y1 = sf_ * (bx[:, 1] - s) + ty_
+        x2 = sf_ * (bx[:, 2] - s) + tx_
+        y2 = sf_ * (bx[:, 3] - s) + ty_
         return jnp.stack([x1, y1, x2, y2], 1)
 
-    # m_boxes are in pre-shift canvas coords (tile offsets without +s//2),
-    # i.e. src coordinates of the reference's 2s canvas
     wb = jax.vmap(lambda bx, a, b, c: warp_boxes(bx, a, b, c))(
         m_boxes, sf, tx, ty)
     w_before = (m_boxes[..., 2] - m_boxes[..., 0])

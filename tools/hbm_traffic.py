@@ -112,6 +112,34 @@ def build_train(scale):
     return yaml, fwd_bwd, (params, bs), make_batch
 
 
+def build_augment(imgsz=640):
+    """The in-graph device_augment program alone (r4: VERDICT weak #4 —
+    the augment pipe costs 26.4 ms of an 88.6 ms b32 step; ledger it)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mgdt_yolo_tpu.ops.device_augment import device_augment
+
+    def make_batch(batch):
+        rng = np.random.default_rng(0)
+        G = 8
+        return {
+            "img": jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 3)),
+                               jnp.uint8),
+            "img_hw": jnp.full((batch, 2), imgsz, jnp.float32),
+            "gt_bboxes": jnp.asarray(
+                rng.random((batch, G, 4), dtype=np.float32) * imgsz),
+            "gt_labels": jnp.asarray(rng.integers(0, 2, (batch, G)), jnp.int32),
+            "mask_gt": jnp.asarray(rng.random((batch, G)) < 0.7)}
+
+    def aug(batch_d, key):
+        return device_augment(batch_d, key, imgsz=imgsz, mosaic_p=1.0)
+
+    key = jax.random.PRNGKey(0)
+    return "device_augment", jax.jit(aug), (), lambda b: (make_batch(b), key)
+
+
 def main(batch=512, scale="n", top_n=25, mode="infer"):
     import jax.numpy as jnp
     import numpy as np
@@ -119,6 +147,9 @@ def main(batch=512, scale="n", top_n=25, mode="infer"):
     if mode == "train":
         yaml, fn, fixed, make_batch = build_train(scale)
         compiled = fn.lower(*fixed, make_batch(batch)).compile()
+    elif mode == "augment":
+        yaml, fn, fixed, make_args = build_augment()
+        compiled = fn.lower(*make_args(batch)).compile()
     else:
         yaml, fn, fixed, dtype = build_infer(scale)
         rng = np.random.default_rng(0)
@@ -188,8 +219,9 @@ def main(batch=512, scale="n", top_n=25, mode="infer"):
 
 
 if __name__ == "__main__":
-    a = [x for x in sys.argv[1:] if x != "--train"]
-    mode = "train" if "--train" in sys.argv[1:] else "infer"
-    main(int(a[0]) if a else (32 if mode == "train" else 512),
+    a = [x for x in sys.argv[1:] if not x.startswith("--")]
+    mode = ("train" if "--train" in sys.argv[1:]
+            else "augment" if "--augment" in sys.argv[1:] else "infer")
+    main(int(a[0]) if a else (32 if mode != "infer" else 512),
          a[1] if len(a) > 1 else "n",
          int(a[2]) if len(a) > 2 else 25, mode=mode)
