@@ -356,11 +356,18 @@ class SPRModule(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        b = x.shape[0]
-        c = self.channels
-        p1 = jnp.mean(x, axis=(1, 2))  # (b, c)
-        p2 = adaptive_avg_pool2d(x, 2)  # (b, 2, 2, c)
+    def __call__(self, x, train: bool = False, pools=None):
+        if pools is None:
+            b = x.shape[0]
+            c = self.channels
+            p1 = jnp.mean(x, axis=(1, 2))  # (b, c)
+            p2 = adaptive_avg_pool2d(x, 2)  # (b, 2, 2, c)
+        else:
+            # caller-computed (b, c) global-avg and (b, 2, 2, c) quadrant-avg
+            # descriptors (MSPA pools per channel group without materializing
+            # the group-stacked feature tensor)
+            p1, p2 = pools
+            b, c = p1.shape
         p2 = jnp.transpose(p2, (0, 3, 1, 2)).reshape(b, 4 * c)  # channel-major flatten
         y = jnp.concatenate([p1, p2], axis=-1)[:, None, None, :]  # (b,1,1,5c)
         y = nn.Conv(c // self.reduction, (1, 1), use_bias=True, dtype=self.dtype,
@@ -414,11 +421,26 @@ class MSPA_C2f(nn.Module):
         b, h, w, _ = fused.shape
         # one SPR call over all groups: weights are shared and pooling is
         # per-sample, so folding groups into the batch axis is exact while
-        # replacing 4 tiny conv chains with one 4x-larger one
+        # replacing 4 tiny conv chains with one 4x-larger one. The pooled
+        # descriptors are computed on the grouped (b,h,w,nums,outw) layout
+        # directly: physically transposing groups into the batch axis only to
+        # immediately pool made XLA materialize + layout-copy the full
+        # (b*nums,h,w,outw) tensor (~1.7 GB x3 at l-scale 160^2 per the
+        # two-resource roofline trace); the pools reduce the same quadrants,
+        # so the result is identical.
         feats = fused.reshape(b, h, w, nums, outw)
-        stacked = jnp.transpose(feats, (0, 3, 1, 2, 4)).reshape(b * nums, h, w, outw)
         attn = SPRModule(outw, dtype=self.dtype, name="attention")
-        weights = attn(stacked, train).reshape(b, nums, 1, 1, outw)
+        if h % 2 == 0 and w % 2 == 0:
+            p1 = jnp.mean(feats, axis=(1, 2))  # (b, nums, outw)
+            quad = feats.reshape(b, 2, h // 2, 2, w // 2, nums, outw)
+            p2 = jnp.mean(quad, axis=(2, 4))  # (b, 2, 2, nums, outw)
+            p1 = p1.reshape(b * nums, outw)
+            p2 = jnp.transpose(p2, (0, 3, 1, 2, 4)).reshape(b * nums, 2, 2, outw)
+            weights = attn(None, train, pools=(p1, p2))
+        else:
+            stacked = jnp.transpose(feats, (0, 3, 1, 2, 4)).reshape(b * nums, h, w, outw)
+            weights = attn(stacked, train)
+        weights = weights.reshape(b, nums, 1, 1, outw)
         weights = jnp.transpose(weights, (0, 2, 3, 1, 4))  # (b,1,1,nums,outw)
         weights = jax.nn.softmax(weights.astype(jnp.float32), axis=3).astype(fused.dtype)
         out = feats * weights
