@@ -483,7 +483,14 @@ class ConvNeXtV2_Block(nn.Module):
                          name="norm")(y)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="pwconv1")(y)
-        y = nn.gelu(y, approximate=False)
+        # reference nn.GELU() is the exact-erf form (convnextv2.py:28); under
+        # f32 we match it bit-for-bit. Under bf16 compute the tanh form is
+        # used instead: XLA expands exact erf into a ~25-op f32 erfc
+        # polynomial that made pwconv1's fusion VPU-bound (18% eff, 5.25 ms
+        # at n-scale b512 per the two-resource trace), while the tanh form's
+        # max abs error (~4e-4) is below bf16 rounding at every |x| < 2.3 —
+        # exact at the precision the path computes in.
+        y = nn.gelu(y, approximate=self.dtype == jnp.bfloat16)
         y = GRN(4 * self.dim, name="grn")(y)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="pwconv2")(y)

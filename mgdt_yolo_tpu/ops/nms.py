@@ -36,14 +36,20 @@ def _candidates(boxes, scores, conf_thres, pre_topk, multi_label, agnostic):
         conf, idx = jax.lax.top_k(jnp.where(flat > conf_thres, flat, -1.0), k)
         anchor_idx = idx // nc
         cls = (idx % nc).astype(jnp.float32)
+        cand_boxes = boxes[anchor_idx]  # (K, 4)
     else:
         conf_all = scores.max(axis=-1)
         cls_all = scores.argmax(axis=-1).astype(jnp.float32)
         k = min(pre_topk, A)
         conf, anchor_idx = jax.lax.top_k(
             jnp.where(conf_all > conf_thres, conf_all, -1.0), k)
-        cls = cls_all[anchor_idx]
-    cand_boxes = boxes[anchor_idx]  # (K, 4)
+        # ONE row-gather of (boxes ++ cls): TPU gathers pay per-INDEX
+        # overhead, not per-byte — two separate gathers of (A,4) and (A,)
+        # measured 4.5 + 5.3 ms at b512 (two-resource trace); widening the
+        # row to 5 floats makes the cls gather free.
+        packed = jnp.concatenate([boxes, cls_all[:, None]], axis=1)  # (A, 5)
+        cand = packed[anchor_idx]  # (K, 5)
+        cand_boxes, cls = cand[:, :4], cand[:, 4]
     valid = conf > 0.0
     offset = jnp.zeros_like(cls) if agnostic else cls * MAX_WH
     return (cand_boxes, conf, cls, valid, cand_boxes + offset[:, None],
