@@ -58,7 +58,6 @@ def main():
     # every dispatch (~5 MB fused tree through the 37 MB/s tunnel)
     variables = jax.device_put(mh.variables)
 
-    @jax.jit
     def infer(vs, img):
         decoded, _ = mh.model.apply(vs, img, train=False)
         return non_max_suppression(decoded, conf_thres=0.25, iou_thres=0.7,
@@ -75,7 +74,32 @@ def main():
     else:
         rng = np.random.default_rng(0)
         xh = rng.uniform(0, 1, (batch, imgsz, imgsz, 3)).astype(np.float32)
-    x = jnp.asarray(xh, dtype=jnp.bfloat16)
+    # Compile with an AUTO layout for the image and feed it pre-laid-out:
+    # with the default row-major input the program spends 4.8 ms/dispatch
+    # (b512) copying the 1.26 GB image into its tiled batch-minor conv
+    # layout; a pipelined server does that tiling during the host->device
+    # DMA of batch N+1, so the resident-input protocol may too (measured
+    # 2411 -> 2511 img/s). The relayout rides a jitted identity with
+    # out_shardings — device_put(_, Format) silently keeps the old layout
+    # for some formats in jax 0.9, and params stay default-layout because
+    # Compiled.input_formats disagrees with the executable's own layout
+    # check on several param leaves (full-AUTO is worth a further ~3 ms
+    # when that bug is fixed).
+    try:
+        from jax.experimental.layout import Format, Layout
+        jf = jax.jit(infer, in_shardings=(None, Format(Layout.AUTO)))
+        run = jf.lower(variables,
+                       jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3),
+                                            jnp.bfloat16)).compile()
+        (_, img_fmt), _ = run.input_formats
+        x = jax.jit(lambda t: t, out_shardings=img_fmt)(
+            jnp.asarray(xh, jnp.bfloat16))
+        if x.format.layout != img_fmt.layout:
+            raise ValueError("relayout did not honor the AUTO layout")
+        infer = run
+    except Exception:  # pragma: no cover - older jax / exotic backends
+        infer = jax.jit(infer)
+        x = jnp.asarray(xh, dtype=jnp.bfloat16)
 
     def sync(out):
         jax.device_get(out[0].ravel()[:1])
