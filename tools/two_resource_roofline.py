@@ -27,8 +27,10 @@ Method:
    per-instruction measured device time against SOL -> efficiency
    ranking: where the gap actually lives.
 
-Usage: python tools/two_resource_roofline.py [scale] [batch] [--trace]
+Usage: python tools/two_resource_roofline.py [scale] [batch] [top_n] [--trace] [--train]
   e.g. python tools/two_resource_roofline.py l 128 --trace
+       python tools/two_resource_roofline.py n 32 60 --trace --train
+(--train accounts the value_and_grad(loss) fwd+bwd program instead of serving)
 """
 import glob
 import gzip
@@ -305,15 +307,21 @@ def trace_times(trace_dir, n_iters):
     return {k: v / n_iters for k, v in agg.items()}
 
 
-def main(scale="l", batch=128, do_trace=False, top_n=30):
+def main(scale="l", batch=128, do_trace=False, top_n=30, train=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    yaml, fn, fixed, dtype = build_infer(scale)
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(0, 1, (batch, 640, 640, 3)), dtype)
-    lowered = fn.lower(*fixed, x)
+    if train:
+        from hbm_traffic import build_train
+        yaml, fn, fixed, make_batch = build_train(scale)
+        args = (*fixed, make_batch(batch))
+    else:
+        yaml, fn, fixed, dtype = build_infer(scale)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(0, 1, (batch, 640, 640, 3)), dtype)
+        args = (*fixed, x)
+    lowered = fn.lower(*args)
     compiled = lowered.compile()
     hlo = compiled.as_text()
     rows = entry_rows(hlo)
@@ -347,12 +355,12 @@ def main(scale="l", batch=128, do_trace=False, top_n=30):
     times = {}
     if do_trace:
         trace_dir = "/tmp/mgdt_two_resource_trace"
-        out = fn(*fixed, x)
+        out = fn(*args)
         jax.device_get(jax.tree.leaves(out)[0].ravel()[:1])
         n_iters = 3
         jax.profiler.start_trace(trace_dir)
         for _ in range(n_iters):
-            out = fn(*fixed, x)
+            out = fn(*args)
         jax.device_get(jax.tree.leaves(out)[0].ravel()[:1])
         jax.profiler.stop_trace()
         raw = trace_times(trace_dir, n_iters)
@@ -392,7 +400,8 @@ def main(scale="l", batch=128, do_trace=False, top_n=30):
 
 
 if __name__ == "__main__":
-    a = [x for x in sys.argv[1:] if x != "--trace"]
+    a = [x for x in sys.argv[1:] if x not in ("--trace", "--train")]
     main(a[0] if a else "l", int(a[1]) if len(a) > 1 else 128,
          do_trace="--trace" in sys.argv[1:],
-         top_n=int(a[2]) if len(a) > 2 else 30)
+         top_n=int(a[2]) if len(a) > 2 else 30,
+         train="--train" in sys.argv[1:])
