@@ -161,6 +161,7 @@ class Exporter(CallbackMixin):
         return out
 
     def _write_metadata(self):
+        from ..ops.deform import eval_semantics
         mh = self.model_holder
         meta = {"imgsz": self.args.imgsz, "nc": mh.nc,
                 "stride": list(getattr(mh, "stride", (32,))),
@@ -168,6 +169,13 @@ class Exporter(CallbackMixin):
                 # architecture pointer: lets AutoBackend rebuild the model
                 # around an .npz weight archive
                 "model_yaml": getattr(mh, "yaml", {}).get("yaml_file", ""),
+                # which DCNv2 semantics the exported program was traced
+                # under / a rebuilt npz model must pin (windowed vs exact
+                # kernels are NOT interchangeable on trained weights:
+                # measured -0.07..-0.26 mAP50-95, README results table) —
+                # AutoBackend pins the rebuilt model's dispatch from this
+                "deform_semantics": eval_semantics(
+                    getattr(mh, "deform_semantics", "auto")),
                 "layout": "NHWC", "output": "(1, 4+nc, A) xywh+scores"}
         (self.out_dir / f"{self.stem}_metadata.json").write_text(
             json.dumps(meta, indent=1))

@@ -78,19 +78,21 @@ class YOLO:
             from .trainer import BaseTrainer
             ckpt = BaseTrainer.load_checkpoint(p)
             train_args = {}
+            sem = None
             if meta_file.is_file():
                 meta = json.loads(meta_file.read_text())
                 train_args = meta.get("train_args", {})
-                # serve with the DCNv2 semantics the weights were trained
-                # under — the windowed TPU kernel and the unbounded exact
-                # path are NOT interchangeable on a trained checkpoint
-                # (measured mAP50-95 0.619 vs 0.362; README results table)
+                # serve (and fine-tune) with the DCNv2 semantics the weights
+                # were trained under — the windowed TPU kernel and the
+                # unbounded exact path are NOT interchangeable on a trained
+                # checkpoint (measured mAP50-95 0.619 vs 0.362; README
+                # results table). Per-model pin: other models in this
+                # process keep theirs.
                 sem = meta.get("deform_semantics")
-                if sem in ("exact", "windowed"):
-                    from ..ops.deform import set_eval_semantics
-                    set_eval_semantics(sem)
             cfg = train_args.get("model") or "yolov8n.yaml"
             self.model = TASK_MAP[self.task][0](cfg)
+            if sem in ("exact", "windowed"):
+                self.model.set_deform_semantics(sem)
             # prefer EMA weights like the reference (tasks.py:581)
             params = ckpt.get("ema_params") or ckpt["params"]
             self.model.variables = {"params": params,
@@ -99,14 +101,17 @@ class YOLO:
             self.overrides["model"] = cfg
         elif weights.endswith(".pt"):
             from ..utils.torch_import import load_torch_pt, load_torch_state_dict
-            # reference checkpoints are trained with unbounded mmcv DCNv2;
-            # the windowed TPU kernel costs them ~0.05 mAP50-95 (measured,
-            # README results table) — pin the exact path for them
-            from ..ops.deform import set_eval_semantics
-            set_eval_semantics("exact")
             sd, train_args = load_torch_pt(weights)
             cfg = train_args.get("model") or "yolov8n.yaml"
             self.model = TASK_MAP[self.task][0](cfg)
+            # reference checkpoints are trained with unbounded mmcv DCNv2
+            # (/root/reference/nn/modules/block.py:17); the windowed TPU
+            # kernel costs them ~0.05 mAP50-95 (measured, README results
+            # table) — pin the exact path for eval AND fine-tuning (the
+            # trainer honors the pin: offsets already past a tap's reach
+            # get zero offset-gradient under the windowed VJP and could
+            # never recover; set_deform_semantics('windowed') opts out)
+            self.model.set_deform_semantics("exact")
             self.model.variables, report = load_torch_state_dict(
                 self.model.variables, sd)
             self.overrides["model"] = cfg
@@ -124,10 +129,12 @@ class YOLO:
             self.model.variables = {
                 "params": jax.device_get(trainer.state.ema_params),
                 "batch_stats": jax.device_get(trainer.state.batch_stats)}
-            # downstream val/predict in this process must use the DCNv2
-            # semantics the weights were just trained under
-            from ..ops.deform import set_eval_semantics, training_semantics
-            set_eval_semantics(training_semantics())
+            # downstream val/predict on THIS model must use the DCNv2
+            # semantics the weights were just trained under (the trainer
+            # resolved + recorded it in the checkpoint sidecars)
+            from ..ops.deform import training_semantics
+            self.model.set_deform_semantics(
+                training_semantics(self.model.deform_semantics))
         return metrics
 
     def val(self, **kwargs):

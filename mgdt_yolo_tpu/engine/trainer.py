@@ -414,6 +414,7 @@ class BaseTrainer(CallbackMixin):
         if args.resume:
             ck = self._find_resume_checkpoint()
             if ck is not None:
+                self._pin_resume_semantics(mh)
                 params = ck["params"]
                 batch_stats = ck.get("batch_stats", batch_stats)
                 step0 = int(ck.get("step", 0))
@@ -484,6 +485,10 @@ class BaseTrainer(CallbackMixin):
                                   augment_fn=augment_fn)
 
         stopper = EarlyStopping(args.patience)
+        # pretrain setup (model/loaders/optimizer/step) is complete — fire
+        # the hook the param-logging integrations attach to (reference
+        # trainer.py _setup_train end; mlflow.py logs args here)
+        self.run_callbacks("on_pretrain_routine_end")
         self.run_callbacks("on_train_start")
         if getattr(args, "plots", False):
             self._plot_train_start(train_ds, loader)
@@ -569,7 +574,38 @@ class BaseTrainer(CallbackMixin):
         if not cands:
             LOGGER.warning("resume requested but no checkpoint found")
             return None
+        self._resume_path = cands[0]
         return self.load_checkpoint(cands[0])
+
+    def _pin_resume_semantics(self, mh):
+        """Resume must TRAIN under the DCNv2 semantics the checkpoint was
+        trained under: the sidecar's `deform_semantics` pins the model
+        (per-model scope). Silently flipping mid-run is the measured
+        -0.07..-0.26 mAP50-95 kernel-mismatch failure — and offsets already
+        past a tap's reach get ZERO offset-gradient under the windowed VJP,
+        so an exact-trained run resumed windowed could never recover them.
+        A conflicting MGDT_DEFORM_EXACT env is a hard error, not a silent
+        override (unset it, or start a fresh run)."""
+        from ..ops.deform import training_semantics
+        sidecar = Path(f"{getattr(self, '_resume_path', '')}.json")
+        if not sidecar.is_file():
+            return
+        sem = json.loads(sidecar.read_text()).get("deform_semantics")
+        if sem not in ("exact", "windowed"):
+            return
+        if os.environ.get("MGDT_DEFORM_EXACT") and sem == "windowed":
+            raise RuntimeError(
+                "resume: checkpoint was trained with WINDOWED deform "
+                "semantics but MGDT_DEFORM_EXACT=1 forces the exact path — "
+                "refusing to flip kernels mid-run (measured -0.07..-0.26 "
+                "mAP50-95). Unset MGDT_DEFORM_EXACT or train from scratch.")
+        mh.set_deform_semantics(sem)
+        eff = training_semantics(mh.deform_semantics)
+        if eff != sem:  # pin accepted but dispatch still disagrees (env)
+            raise RuntimeError(
+                f"resume: checkpoint semantics {sem!r} cannot be honored "
+                f"(effective training dispatch would be {eff!r}) — check "
+                f"MGDT_DEFORM_* environment variables")
 
     def save_checkpoint(self, state: TrainState, name: str):
         import orbax.checkpoint as ocp
@@ -587,10 +623,13 @@ class BaseTrainer(CallbackMixin):
         from ..ops.deform import training_semantics
         (self.wdir / f"{name}.json").write_text(json.dumps(
             {"epoch": self.epoch, "best_fitness": float(self.best_fitness),
-             # which DCNv2 semantics the weights were trained under —
-             # eval/serving must match it (engine/model.py pins the eval
-             # dispatch from this key; see ops/deform.py set_eval_semantics)
-             "deform_semantics": training_semantics(),
+             # which DCNv2 semantics the weights were trained under — every
+             # later consumer must match it: YOLO load / AutoBackend pin
+             # eval from this key, resume pins TRAINING from it, export
+             # legs copy it into their metadata (per-model pin, see
+             # nn/tasks.BaseModel.set_deform_semantics)
+             "deform_semantics": training_semantics(
+                 getattr(self.model_holder, "deform_semantics", "auto")),
              "train_args": {k: str(v) for k, v in vars(self.args).items()}}))
 
     @staticmethod

@@ -83,6 +83,13 @@ class AutoBackend:
                 mh = DetectionModel(yaml_file,
                                     nc=(m.get("nc") if meta.is_file()
                                         else None))
+                # pin the rebuilt model to the DCNv2 semantics the weights
+                # were trained/exported under (exporter metadata) — a bare
+                # rebuild would dispatch 'auto' (windowed), the measured
+                # 0.626 -> 0.557 mAP50-95 failure on exact-trained weights
+                sem = m.get("deform_semantics")
+                if sem in ("exact", "windowed"):
+                    mh.set_deform_semantics(sem)
                 flat = np.load(str(p))
                 variables = {}
                 for key in flat.files:  # "coll.a.b.kernel" -> nested dict

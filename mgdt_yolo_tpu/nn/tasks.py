@@ -350,13 +350,21 @@ class GraphModel(nn.Module):
     strides: Optional[Tuple[int, ...]] = None
     dtype: Any = jnp.float32
     act: Optional[str] = None  # yaml-wide default activation override
+    # PER-MODEL DCNv2 dispatch pin ('auto'|'exact'|'windowed'), entered as a
+    # trace-time scope around this graph's body so two models with different
+    # pins coexist in one process (ops/deform.py semantics_scope; the
+    # windowed/exact kernels are NOT interchangeable on trained weights —
+    # measured -0.07..-0.26 mAP50-95, README results table)
+    deform_semantics: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False, head_kwargs=None):
+        from ..ops.deform import semantics_scope
         from .modules.conv import set_default_act
         prev_act = set_default_act(self.act) if self.act else None
         try:
-            return self._run(x, train, head_kwargs)
+            with semantics_scope(self.deform_semantics):
+                return self._run(x, train, head_kwargs)
         finally:
             if prev_act is not None:
                 set_default_act(prev_act)
@@ -439,9 +447,32 @@ class BaseModel:
         setup via check_amp, yolo/utils/checks.py:350-397)."""
         if dtype != self.dtype:
             self.dtype = dtype
-            self.model = GraphModel(self.specs, self.save,
-                                    strides=self.model.strides,
-                                    dtype=dtype, act=self.act)
+            self.model = self.model.clone(dtype=dtype)
+        return self
+
+    @property
+    def deform_semantics(self) -> str:
+        """This model's DCNv2 dispatch pin ('auto'|'exact'|'windowed')."""
+        return getattr(self.model, "deform_semantics", "auto")
+
+    def set_deform_semantics(self, sem: str):
+        """Pin THIS model's DCNv2 dispatch — training and eval both.
+
+        Per-model, not process-global: the pin is a field of the flax graph
+        (GraphModel.deform_semantics), entered as a trace-time scope around
+        the graph body, so a windowed-trained and an exact-pinned model can
+        serve side by side in one process (Ensemble, benchmark sweeps).
+        Set from checkpoint sidecar metadata at load (engine/model.py), from
+        export metadata at AutoBackend reload, and by resume (trainer). The
+        windowed and exact kernels are NOT interchangeable on trained
+        weights (measured -0.07..-0.26 mAP50-95; reference semantics are
+        unbounded mmcv DCNv2, /root/reference/nn/modules/block.py:17).
+        """
+        from ..ops.deform import check_semantics
+        if check_semantics(sem) != self.deform_semantics:
+            LOGGER.info(f"deform-conv semantics pinned to {sem!r} "
+                        f"for this model")
+            self.model = self.model.clone(deform_semantics=sem)
         return self
 
 
@@ -610,6 +641,17 @@ class Ensemble:
     def fuse(self):
         for m in self.members:
             m.fuse()
+        return self
+
+    @property
+    def deform_semantics(self) -> str:
+        return self.members[0].deform_semantics
+
+    def set_deform_semantics(self, sem: str):
+        # members keep their own pins when loaded from checkpoints; this
+        # forwards an explicit whole-ensemble pin
+        for m in self.members:
+            m.set_deform_semantics(sem)
         return self
 
 

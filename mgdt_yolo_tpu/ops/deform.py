@@ -28,40 +28,80 @@ import jax.numpy as jnp
 
 _LOGGED_PATHS: set = set()
 
-# Process-wide eval-semantics pin, set from checkpoint metadata at load time
-# (engine/model.py). The windowed kernels are only mAP-safe when serving
-# matches the semantics the weights were TRAINED under (measured: a
-# windowed-trained MGDT ckpt drops mAP50-95 0.619 -> 0.362 under exact eval
-# — tools/deform_window_audit.py / README results table). "auto" keeps the
-# default dispatch (windowed on TPU); "exact" pins the unbounded reference
-# semantics (for torch-imported or exact-trained weights); "windowed" is an
-# explicit alias of the default. Read at TRACE time, like MGDT_DEFORM_EXACT
-# (which still wins over this pin).
-_EVAL_SEMANTICS = "auto"
+# PER-MODEL semantics pin, scoped at trace time. The windowed kernels are
+# only mAP-safe when every consumer (training, eval, export) matches the
+# semantics the weights were TRAINED under (measured: a windowed-trained
+# MGDT ckpt drops mAP50-95 0.619 -> 0.362 under exact eval —
+# tools/deform_window_audit.py / README results table). Each model graph
+# (nn/tasks.GraphModel) carries a `deform_semantics` field and enters
+# `semantics_scope` around its own trace, so two models with different
+# pins coexist in one process (Ensemble, benchmark format sweeps, serve)
+# — the r4 process-global pin re-pinned EVERY model on each load.
+# Values: "auto" keeps the platform default dispatch (windowed on TPU);
+# "exact" pins the unbounded reference semantics everywhere, training
+# included (torch-imported / exact-trained weights); "windowed" pins the
+# per-tap-clamped kernels everywhere (windowed-trained weights — off-TPU
+# training then rides the differentiable `patch` path). MGDT_DEFORM_EXACT
+# still wins over any pin (escape hatch, reference parity runs).
+from contextvars import ContextVar
+
+_SCOPE: ContextVar = ContextVar("mgdt_deform_semantics", default="auto")
+
+VALID_SEMANTICS = ("auto", "exact", "windowed")
 
 
-def set_eval_semantics(sem: str) -> None:
-    """Pin eval dispatch: 'auto' | 'exact' | 'windowed' (trace-time)."""
-    global _EVAL_SEMANTICS
-    if sem not in ("auto", "exact", "windowed"):
-        raise ValueError(f"unknown deform semantics {sem!r}")
-    if sem != _EVAL_SEMANTICS:
-        logging.getLogger("mgdt_yolo_tpu").info(
-            "deform-conv eval semantics pinned to %r", sem)
-    _EVAL_SEMANTICS = sem
+def check_semantics(sem: str) -> str:
+    if sem not in VALID_SEMANTICS:
+        raise ValueError(f"unknown deform semantics {sem!r}; "
+                         f"expected one of {VALID_SEMANTICS}")
+    return sem
 
 
-def training_semantics() -> str:
-    """What method='auto' will select for TRAINING in this process:
-    'windowed' (the pallas_vjp per-tap-clamped kernel, TPU default) or
-    'exact' (unbounded reference semantics). Recorded into checkpoint
-    sidecar json by the trainer so eval can match it at load time."""
+class semantics_scope:
+    """Context manager pinning the deform dispatch for traces inside it."""
+
+    def __init__(self, sem: str):
+        self.sem = check_semantics(sem)
+        self._token = None
+
+    def __enter__(self):
+        self._token = _SCOPE.set(self.sem)
+        return self
+
+    def __exit__(self, *exc):
+        _SCOPE.reset(self._token)
+        return False
+
+
+def current_semantics() -> str:
+    """The pin active for traces at this point ('auto' outside any scope)."""
+    return _SCOPE.get()
+
+
+def training_semantics(pinned: str = "auto") -> str:
+    """What method='auto' selects for TRAINING under the given pin:
+    'windowed' (per-tap-clamped kernels: pallas_vjp on TPU, patch off-TPU)
+    or 'exact' (unbounded reference semantics). Recorded into checkpoint
+    sidecar json by the trainer so every later consumer (resume, eval at
+    load, export metadata) can match it."""
     if os.environ.get("MGDT_DEFORM_EXACT"):
         return "exact"
+    if check_semantics(pinned) != "auto":
+        return pinned
     if (jax.default_backend() == "tpu"
             and not os.environ.get("MGDT_DEFORM_NO_PALLAS")):
         return "windowed"
     return "windowed" if os.environ.get("MGDT_DEFORM_FAST_TRAIN") else "exact"
+
+
+def eval_semantics(pinned: str = "auto") -> str:
+    """What method='auto' selects for EVAL under the given pin (the value
+    export legs record next to their artifacts): 'exact' only when forced
+    by env or pin — the default eval dispatch is windowed on every backend
+    (pallas on TPU, the XLA patch path elsewhere)."""
+    if os.environ.get("MGDT_DEFORM_EXACT"):
+        return "exact"
+    return "windowed" if check_semantics(pinned) == "auto" else pinned
 
 
 def _log_fast_path_once(method: str, train: bool) -> None:
@@ -112,8 +152,12 @@ def modulated_deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarr
     if method == "auto":
         std = (stride == 1 and padding == 1 and dilation == 1
                and weight.shape[0] == weight.shape[1] == 3)
+        # the per-model pin (semantics_scope, entered by GraphModel around
+        # its trace) governs BOTH training and eval dispatch; the env
+        # escape hatch MGDT_DEFORM_EXACT wins over any pin
+        scope = _SCOPE.get()
         if (std and not os.environ.get("MGDT_DEFORM_EXACT")
-                and not (not train and _EVAL_SEMANTICS == "exact")):
+                and scope != "exact"):
             from .pallas_deform import RB
             pallas_ok = (jax.default_backend() == "tpu"
                          and x.shape[1] % RB == 0
@@ -126,7 +170,10 @@ def modulated_deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarr
                 # training rides VMEM too: custom_vjp pairs the forward
                 # kernel with a second window-slot backward kernel
                 method = "pallas_vjp"
-            elif os.environ.get("MGDT_DEFORM_FAST_TRAIN"):
+            elif (scope == "windowed"
+                  or os.environ.get("MGDT_DEFORM_FAST_TRAIN")):
+                # windowed-pinned training off-TPU: the differentiable XLA
+                # patch path shares the pallas kernels' clamped semantics
                 method = "patch"
             else:
                 method = "exact"

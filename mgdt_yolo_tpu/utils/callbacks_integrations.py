@@ -132,12 +132,29 @@ class MlflowFileStoreLogger:
             for k, v in meta.items():
                 f.write(f"{k}: {v}\n")
 
+    def _experiment_id(self, exp_name: str) -> str:
+        """One stable experiment directory per name, across processes.
+
+        Like mlflow's own file store, an existing experiment is found by
+        scanning `<root>/*/meta.yaml` for a matching `name:`; only when none
+        exists is a new id minted — derived from sha1(name) so concurrent
+        first-writers converge on the same directory (Python's builtin
+        `hash()` is salted per process and would splinter experiments).
+        """
+        if self.root.is_dir():
+            for meta in self.root.glob("*/meta.yaml"):
+                for line in meta.read_text().splitlines():
+                    if line.startswith("name: ") and line[6:] == exp_name:
+                        return meta.parent.name
+        import hashlib
+        digest = hashlib.sha1(exp_name.encode()).hexdigest()
+        return str(int(digest[:12], 16) % 10 ** 9)
+
     def _start(self, trainer):
         exp_name = os.environ.get("MLFLOW_EXPERIMENT_NAME",
                                   f"/mgdt/{getattr(trainer.args, 'task', 'detect')}")
-        # experiment ids are numeric strings in the file store; one stable
-        # experiment directory per name
-        exp_id = str(abs(hash(exp_name)) % 10 ** 9)
+        # experiment ids are numeric strings in the file store
+        exp_id = self._experiment_id(exp_name)
         exp_dir = self.root / exp_id
         if not (exp_dir / "meta.yaml").exists():
             self._write_meta(exp_dir / "meta.yaml", {
@@ -205,8 +222,77 @@ class MlflowFileStoreLogger:
         (self.run_dir / "meta.yaml").write_text("\n".join(out) + "\n")
 
 
+class WandbOfflineLogger:
+    """wandb logging, import-gated and FORCED offline (reference
+    callbacks/wb.py:24-53 — same hooks: init at pretrain, metrics +
+    train losses per epoch, best-weights artifact at train end).
+
+    Unlike mlflow's file store, wandb's offline format (`wandb/*.wandb`)
+    is an undocumented protobuf/LevelDB-style binary that cannot be
+    written without the package — so this adapter requires `wandb` to be
+    importable but never the network: it always calls
+    `wandb.init(mode="offline")` (the package's own documented offline
+    mode, synced later with `wandb sync`). Activates only when
+    MGDT_WANDB=1 or WANDB_MODE=offline is set AND wandb imports; inert
+    otherwise (this environment ships no wandb).
+    """
+
+    def __init__(self, wandb_module=None):
+        self.wb = wandb_module
+        self.run = None
+        if self.wb is None:
+            if not (os.environ.get("MGDT_WANDB")
+                    or os.environ.get("WANDB_MODE") == "offline"):
+                return
+            try:
+                import wandb
+                assert hasattr(wandb, "__version__")
+                self.wb = wandb
+            except (ImportError, AssertionError):
+                LOGGER.info("wandb not importable; wandb logging off")
+
+    def attach(self, trainer):
+        if self.wb is None:
+            return
+        trainer.add_callback("on_pretrain_routine_start", self._start)
+        trainer.add_callback("on_fit_epoch_end", self._epoch)
+        trainer.add_callback("on_train_end", self._end)
+
+    def _start(self, trainer):
+        self.run = self.wb.init(
+            project=str(getattr(trainer.args, "project", None) or "MGDT"),
+            name=str(getattr(trainer.args, "name", None) or "train"),
+            config=vars(trainer.args), mode="offline",
+            dir=str(getattr(trainer, "save_dir", ".")))
+
+    def _epoch(self, trainer):
+        if self.run is None:
+            return
+        step = int(getattr(trainer, "epoch", 0)) + 1
+        rows = {**{f"train/{k}": float(v)
+                   for k, v in getattr(trainer, "loss_items", {}).items()},
+                **{k: float(v) for k, v in getattr(trainer, "metrics", {}).items()
+                   if isinstance(v, (int, float))}}
+        self.run.log(rows, step=step)
+
+    def _end(self, trainer):
+        if self.run is None:
+            return
+        best = Path(str(getattr(trainer, "save_dir", ""))) / "weights" / "best"
+        try:
+            if best.exists():
+                art = self.wb.Artifact(type="model",
+                                       name=f"run_{self.run.id}_model")
+                art.add_dir(str(best)) if best.is_dir() else \
+                    art.add_file(str(best))
+                self.run.log_artifact(art)
+        finally:
+            self.run.finish()
+
+
 def add_integration_callbacks(trainer):
     """Attach every available integration (reference callbacks/base.py:191-212)."""
     JsonlLogger().attach(trainer)
     TensorBoardLogger().attach(trainer)
     MlflowFileStoreLogger().attach(trainer)
+    WandbOfflineLogger().attach(trainer)

@@ -32,13 +32,7 @@ def rng():
     import numpy as np
     return np.random.default_rng(0)
 
-
-@pytest.fixture(autouse=True)
-def _reset_deform_eval_semantics():
-    """YOLO load pins process-wide eval deform semantics from checkpoint
-    metadata (ops/deform.py set_eval_semantics); keep tests isolated."""
-    yield
-    import sys as _sys
-    mod = _sys.modules.get("mgdt_yolo_tpu.ops.deform")
-    if mod is not None and mod._EVAL_SEMANTICS != "auto":
-        mod.set_eval_semantics("auto")
+# note: deform semantics pins are PER-MODEL (a GraphModel field entered as a
+# trace-time scope, ops/deform.py semantics_scope) — no process-global state
+# to reset between tests. The r4 autouse reset fixture is gone with the
+# global it compensated for.

@@ -83,6 +83,54 @@ def test_inert_without_env(tmp_path, monkeypatch):
     assert t._cbs == {}  # no hooks registered
 
 
+def test_real_trainer_wires_the_hooks(tmp_path, monkeypatch):
+    """A REAL training run (not FakeTrainer) must produce the mlflow file
+    store: regression for the trainer never firing on_pretrain_routine_end,
+    which left MlflowFileStoreLogger._start dead in production while the
+    FakeTrainer tests (which fire hooks manually) stayed green."""
+    from mgdt_yolo_tpu.engine.model import YOLO
+    root = tmp_path / "mlruns"
+    monkeypatch.setenv("MGDT_MLFLOW_DIR", str(root))
+    m = YOLO("yolov8n.yaml")
+    m.train(data="synthetic", epochs=1, imgsz=64, batch=8, workers=2,
+            project=str(tmp_path), name="mlf", val=False, plots=False)
+    runs = list(root.glob("*/*/meta.yaml"))
+    assert len(runs) == 1, f"mlflow run not created: {list(root.rglob('*'))}"
+    run_dir = runs[0].parent
+    assert (run_dir / "params" / "epochs").read_text() == "1"
+    metrics = list((run_dir / "metrics").rglob("*"))
+    assert any(p.is_file() for p in metrics)
+    assert "status: 3" in runs[0].read_text()  # finalized at train end
+
+
+def test_one_experiment_dir_across_processes(tmp_path):
+    """Two training processes logging the same experiment name must share ONE
+    experiment directory (two runs inside it). Regression for the per-process
+    `hash()` salt splintering experiments (VERDICT r4 weak #5) — mlflow's own
+    file store resolves an experiment by scanning meta.yaml names."""
+    import subprocess
+    import sys
+    root = tmp_path / "mlruns"
+    prog = (
+        "import sys; from pathlib import Path\n"
+        f"sys.path.insert(0, {str(Path(__file__).parent)!r})\n"
+        f"sys.path.insert(0, {str(Path(__file__).parents[1])!r})\n"
+        "from test_integrations import _run_training\n"
+        f"_run_training(Path({str(root)!r}), Path(sys.argv[1]))\n"
+    )
+    env = {**os.environ, "PYTHONHASHSEED": "random",
+           "JAX_PLATFORMS": "cpu"}
+    for i in range(2):
+        sub = tmp_path / f"proc{i}"
+        sub.mkdir()
+        subprocess.run([sys.executable, "-c", prog, str(sub)], check=True,
+                       env=env)
+    exp_dirs = [d for d in root.iterdir() if d.is_dir()]
+    assert len(exp_dirs) == 1, f"experiment splintered: {exp_dirs}"
+    runs = [d for d in exp_dirs[0].iterdir() if d.is_dir()]
+    assert len(runs) == 2
+
+
 def test_http_uri_refused(monkeypatch):
     monkeypatch.setenv("MLFLOW_TRACKING_URI", "https://example.com")
     assert MlflowFileStoreLogger().root is None
@@ -92,3 +140,68 @@ def test_file_uri_accepted(tmp_path, monkeypatch):
     monkeypatch.setenv("MLFLOW_TRACKING_URI", f"file://{tmp_path}/mlruns")
     lg = MlflowFileStoreLogger()
     assert lg.root == tmp_path / "mlruns"
+
+
+class _FakeWandbRun:
+    def __init__(self, owner):
+        self.owner = owner
+        self.id = "fake123"
+        self.logged = []
+        self.finished = False
+
+    def log(self, rows, step=None):
+        self.logged.append((step, rows))
+
+    def log_artifact(self, art):
+        self.owner.artifacts.append(art)
+
+    def finish(self):
+        self.finished = True
+
+
+class _FakeWandb:
+    """Stands in for the wandb package: records init kwargs so the test can
+    assert the adapter FORCES mode='offline' (no network logging)."""
+    __version__ = "0.0-fake"
+
+    def __init__(self):
+        self.init_kwargs = None
+        self.artifacts = []
+
+    def init(self, **kw):
+        self.init_kwargs = kw
+        self.run = _FakeWandbRun(self)
+        return self.run
+
+    def Artifact(self, type, name):
+        return SimpleNamespace(type=type, name=name, files=[],
+                               add_file=lambda p: None,
+                               add_dir=lambda p: None)
+
+
+def test_wandb_adapter_forces_offline(tmp_path):
+    from mgdt_yolo_tpu.utils.callbacks_integrations import WandbOfflineLogger
+    fake = _FakeWandb()
+    t = FakeTrainer(tmp_path / "run1")
+    (t.save_dir / "weights").mkdir(parents=True)
+    (t.save_dir / "weights" / "best").mkdir()
+    lg = WandbOfflineLogger(wandb_module=fake)
+    lg.attach(t)
+    t.fire("on_pretrain_routine_start")
+    assert fake.init_kwargs["mode"] == "offline"  # never the network
+    t.epoch = 0
+    t.fire("on_fit_epoch_end")
+    step, rows = fake.run.logged[0]
+    assert step == 1 and rows["train/box_loss"] == 1.5
+    t.fire("on_train_end")
+    assert fake.run.finished and len(fake.artifacts) == 1
+
+
+def test_wandb_adapter_inert_without_package(tmp_path, monkeypatch):
+    monkeypatch.delenv("MGDT_WANDB", raising=False)
+    monkeypatch.delenv("WANDB_MODE", raising=False)
+    from mgdt_yolo_tpu.utils.callbacks_integrations import WandbOfflineLogger
+    lg = WandbOfflineLogger()
+    t = FakeTrainer(tmp_path / "r")
+    lg.attach(t)
+    assert t._cbs == {}

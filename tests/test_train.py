@@ -185,9 +185,10 @@ class TestDonationGate:
 
 def test_ckpt_records_and_pins_deform_semantics(tmp_path):
     """The trainer sidecar json records which DCNv2 semantics training used
-    (ops/deform.py training_semantics), and YOLO(ckpt) pins eval dispatch
-    to match — windowed/exact kernels are not interchangeable on a trained
-    checkpoint (mAP50-95 0.619 vs 0.362 measured; README results table)."""
+    (ops/deform.py training_semantics), and YOLO(ckpt) pins THE LOADED
+    MODEL's dispatch to match (per-model, not process-global) —
+    windowed/exact kernels are not interchangeable on a trained checkpoint
+    (mAP50-95 0.619 vs 0.362 measured; README results table)."""
     import json
 
     from mgdt_yolo_tpu.engine.model import YOLO
@@ -199,14 +200,53 @@ def test_ckpt_records_and_pins_deform_semantics(tmp_path):
     wdir = tmp_path / "sem" / "weights"
     meta = json.loads((wdir / "last.json").read_text())
     assert meta["deform_semantics"] == D.training_semantics()
-    try:
-        # simulate loading a checkpoint trained under the OTHER semantics
-        flipped = ("exact" if meta["deform_semantics"] == "windowed"
-                   else "windowed")
-        meta["deform_semantics"] = flipped
-        (wdir / "last.json").write_text(json.dumps(meta))
-        D.set_eval_semantics("auto")
-        YOLO(str(wdir / "last"))
-        assert D._EVAL_SEMANTICS == flipped
-    finally:
-        D.set_eval_semantics("auto")
+    # the facade pinned the just-trained model to its training semantics
+    assert m.model.deform_semantics == meta["deform_semantics"]
+    # simulate loading a checkpoint trained under the OTHER semantics:
+    # only the LOADED model gets that pin; `m` keeps its own
+    flipped = ("exact" if meta["deform_semantics"] == "windowed"
+               else "windowed")
+    meta["deform_semantics"] = flipped
+    (wdir / "last.json").write_text(json.dumps(meta))
+    other = YOLO(str(wdir / "last"))
+    assert other.model.deform_semantics == flipped
+    assert m.model.deform_semantics != flipped  # no cross-model re-pin
+    assert D.current_semantics() == "auto"  # nothing leaked process-wide
+
+
+def test_resume_pins_training_semantics(tmp_path, monkeypatch):
+    """Resume reads the sidecar's deform_semantics and pins TRAINING
+    dispatch (VERDICT r4 weak #2b): a windowed-trained run resumed without
+    the env var must keep training windowed, and a conflicting
+    MGDT_DEFORM_EXACT is a hard error instead of a silent kernel flip."""
+    import json
+
+    from mgdt_yolo_tpu.engine.model import YOLO
+
+    # train 1 epoch with windowed TRAINING semantics (patch path on CPU)
+    monkeypatch.setenv("MGDT_DEFORM_FAST_TRAIN", "1")
+    m = YOLO("yolov8n.yaml")
+    m.train(data="synthetic", epochs=2, imgsz=64, batch=8, workers=2,
+            project=str(tmp_path), name="resumable", val=False, plots=False,
+            exist_ok=True)
+    wdir = tmp_path / "resumable" / "weights"
+    meta = json.loads((wdir / "last.json").read_text())
+    assert meta["deform_semantics"] == "windowed"
+    monkeypatch.delenv("MGDT_DEFORM_FAST_TRAIN", raising=False)
+
+    # resume WITHOUT the env var: the sidecar must pin windowed training
+    m2 = YOLO("yolov8n.yaml")
+    m2.train(data="synthetic", epochs=3, imgsz=64, batch=8, workers=2,
+             project=str(tmp_path), name="resumable", val=False, plots=False,
+             resume=True, exist_ok=True)
+    assert m2.model.deform_semantics == "windowed"
+    meta2 = json.loads((wdir / "last.json").read_text())
+    assert meta2["deform_semantics"] == "windowed"  # did not flip to exact
+
+    # conflicting env: hard error, not a silent mid-run kernel swap
+    monkeypatch.setenv("MGDT_DEFORM_EXACT", "1")
+    m3 = YOLO("yolov8n.yaml")
+    with pytest.raises(RuntimeError, match="WINDOWED"):
+        m3.train(data="synthetic", epochs=4, imgsz=64, batch=8, workers=2,
+                 project=str(tmp_path), name="resumable", val=False,
+                 plots=False, resume=True, exist_ok=True)
