@@ -45,7 +45,6 @@ def main():
     out_dir = REPO / "weights"
     ex = Exporter(overrides={"format": "npz", "imgsz": 640,
                              "project": str(out_dir)})
-    ex.stem_override = "mgdt_n_synth"
     # Exporter names artifacts after the model yaml stem; rename to the
     # stable committed name bench.py looks for
     paths = ex(mh, fmt="npz")
