@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Prototype: qx-hoisted window walk for the Pallas deform forward kernel.
+
+VERDICT r4 weak #3: the deform kernel is VPU-issue-bound at 7.5 ms vs a
+0.33 ms HBM SOL — but it also runs at only ~47% of its OWN vop bound
+(9 taps x 36 slots x C FMAs at ~4 vops/cycle predicts ~3.5 ms at b128).
+Hypothesis: each of the 324 slot FMAs slices the slab at a fresh lane
+offset qx (slab[:, qy:qy+RB, qx:qx+W]), and Mosaic emits a lane-rotate
+per channel-vreg per slot — doubling the vop count vs the useful FMA.
+
+Variant B hoists the lane shift: loop qx OUTER (8 pre-shifted slab views
+built once, 8 x C rotates total instead of 324 x C), then walk the
+(tap, qy) pairs whose reach covers that qx. FMA count is unchanged;
+only the data-movement vops drop.
+
+Usage:
+  python tools/proto_deform_qxhoist.py check   # CPU interpret bit-equality
+  python tools/proto_deform_qxhoist.py bench   # TPU timing at MGDT shapes
+"""
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mgdt_yolo_tpu.ops.pallas_deform import (K, M, RB, _fields, _pad_cf,
+                                             _tap_axis_weights,
+                                             modulated_deform_conv2d_pallas)
+
+
+def _kernel_fused_qxhoist(x_ref, y0_ref, fy_ref, x0_ref, fx_ref, wv_ref,
+                          w_ref, o_ref, *, C: int, W: int):
+    r = pl.program_id(1)
+    slab = x_ref[0, :, pl.ds(pl.multiple_of(r * RB, 8), 2 * RB), :]
+    y0, fy, x0, fx, wv = (ref[0] for ref in
+                          (y0_ref, fy_ref, x0_ref, fx_ref, wv_ref))
+    # per-tap axis weights, precomputed once (same as baseline)
+    ays = {}
+    axs = {}
+    for k in range(K):
+        ty, tx = divmod(k, 3)
+        ays[k] = {ty + i: w * wv[k] for i, w in
+                  enumerate(_tap_axis_weights(ty, y0[k], fy[k]))}
+        axs[k] = {tx + i: w for i, w in
+                  enumerate(_tap_axis_weights(tx, x0[k], fx[k]))}
+    accs = [jnp.zeros((C, RB, W), jnp.float32) for _ in range(K)]
+    for qx in range(M):
+        # ONE lane shift for all (tap, qy) pairs reaching this qx
+        xsx = slab[:, :, qx:qx + W]                     # (C, 2RB, W)
+        for k in range(K):
+            ax = axs[k].get(qx)
+            if ax is None:
+                continue
+            for qy, ay in ays[k].items():
+                w_q = (ay * ax).astype(jnp.float32)      # (RB, W)
+                xs = xsx[:, qy:qy + RB, :]               # sublane slice only
+                accs[k] = accs[k] + w_q[None] * xs.astype(jnp.float32)
+    acc = jnp.concatenate(accs, axis=0)                  # (K*C, RB, W)
+    wf = w_ref[...].astype(jnp.float32)
+    rows = [jax.lax.dot_general(acc[:, i], wf,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)[None]
+            for i in range(RB)]
+    o_ref[0] = jnp.concatenate(rows, axis=0).astype(o_ref.dtype)
+
+
+def deform_qxhoist(x, offset, mask, weight, bias=None,
+                   interpret: bool = False):
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weight.shape
+    assert kh == 3 and kw == 3 and H % RB == 0
+    y0, fy, x0, fx, wv = _fields(offset, mask, H, W)[:5]
+    xp = _pad_cf(x)
+    _, _, Hp, Wp = xp.shape
+    wf = weight.reshape(K * Cin, Cout)
+    fspec = pl.BlockSpec((1, K, RB, W), lambda b, r: (b, 0, r, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel_fused_qxhoist, C=Cin, W=W),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, H // RB),
+            in_specs=[
+                pl.BlockSpec((1, Cin, Hp, Wp), lambda b, r: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                fspec, fspec, fspec, fspec, fspec,
+                pl.BlockSpec((K * Cin, Cout), lambda b, r: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, RB, W, Cout),
+                                   lambda b, r: (b, r, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, y0, fy, x0, fx, wv, wf)
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+def _mgdt_shapes(B=128):
+    """The ONE deform site in MGDT: TOODHead P3 level, 80x80, C=Cout=32."""
+    rng = np.random.default_rng(0)
+    H = W = 80
+    C = 32
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+    off = jnp.asarray(rng.uniform(-3, 3, (B, H, W, 18)), jnp.bfloat16)
+    mask = jnp.asarray(rng.uniform(0, 1, (B, H, W, 9)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, 32)) * 0.1, jnp.bfloat16)
+    return x, off, mask, w
+
+
+def check():
+    rng = np.random.default_rng(1)
+    B, H, W, C = 2, 16, 24, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    off = jnp.asarray(rng.uniform(-4, 4, (B, H, W, 18)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(0, 1, (B, H, W, 9)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, 6)) * 0.1, jnp.float32)
+    a = np.asarray(modulated_deform_conv2d_pallas(x, off, mask, w,
+                                                  interpret=True))
+    b = np.asarray(deform_qxhoist(x, off, mask, w, interpret=True))
+    # accumulation order is qx-major here vs qy-major in the baseline, so
+    # agreement is to f32 rounding (measured max 1 ULP), not bit-identity
+    np.testing.assert_allclose(a, b, rtol=0, atol=4e-7)
+    print(f"qxhoist == baseline to {np.abs(a - b).max():.2e} (f32 "
+          "accumulation-order noise) OK")
+
+
+def bench():
+    args = _mgdt_shapes()
+    f_base = jax.jit(modulated_deform_conv2d_pallas)
+    f_hoist = jax.jit(deform_qxhoist)
+    for name, f in (("baseline", f_base), ("qxhoist", f_hoist)):
+        out = f(*args)
+        jax.device_get(out.ravel()[:1])
+        ts = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            for _ in range(5):
+                out = f(*args)
+            jax.device_get(out.ravel()[:1])
+            ts.append((time.perf_counter() - t0) / 5)
+        print(f"{name}: {min(ts) * 1e3:.2f} ms")
+    a = np.asarray(f_base(*args)).astype(np.float32)
+    b = np.asarray(f_hoist(*args)).astype(np.float32)
+    # bf16 outputs: f32 accumulation-order noise can flip one bf16 ULP
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+    print(f"on-chip outputs agree to {np.abs(a - b).max():.2e} OK")
+
+
+if __name__ == "__main__":
+    if "bench" in sys.argv[1:]:
+        bench()
+    else:
+        check()
