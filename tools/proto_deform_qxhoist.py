@@ -13,6 +13,21 @@ built once, 8 x C rotates total instead of 324 x C), then walk the
 (tap, qy) pairs whose reach covers that qx. FMA count is unchanged;
 only the data-movement vops drop.
 
+Variant C (cvt1) additionally hoists the bf16->f32 slab convert to once
+per block (the baseline converts its slab slice inside every slot FMA —
+324 x C vreg converts if Mosaic doesn't CSE them).
+
+MEASURED (v5e, MGDT n-scale shapes b128 80x80 C32, min-of-5):
+  baseline (tap-major repo kernel)  14.54-14.65 ms
+  qxhoist  (variant B)              14.39-14.41 ms   (+1.6%)
+  cvt1     (variant C)              14.39 ms         (+1.0%)
+Both hypotheses FALSIFIED: Mosaic already hoists/CSEs the per-slot lane
+rotations and converts; the kernel's vop count is the useful FMA work
+itself. Together with slot-skip (0.80x), bf16-FMA (0.80x), and the
+xpack lane-packing analysis (util gain can't pay at W=80), this pins the
+windowed walk at its VPU issue ceiling — see README "deform kernel
+generations" row.
+
 Usage:
   python tools/proto_deform_qxhoist.py check   # CPU interpret bit-equality
   python tools/proto_deform_qxhoist.py bench   # TPU timing at MGDT shapes
@@ -69,6 +84,80 @@ def _kernel_fused_qxhoist(x_ref, y0_ref, fy_ref, x0_ref, fx_ref, wv_ref,
                                 preferred_element_type=jnp.float32)[None]
             for i in range(RB)]
     o_ref[0] = jnp.concatenate(rows, axis=0).astype(o_ref.dtype)
+
+
+def _kernel_fused_cvt1(x_ref, y0_ref, fy_ref, x0_ref, fx_ref, wv_ref,
+                       w_ref, o_ref, *, C: int, W: int):
+    """Variant C: qx-hoist + ONE bf16->f32 slab convert per block.
+
+    The baseline walk converts its (C, RB, W) slab slice to f32 inside
+    every slot FMA — 324 x C vreg converts per block, as many vops as the
+    useful FMAs if Mosaic doesn't CSE them. Convert the whole 2RB slab
+    once (C x 2RB x W/lane vregs) and slice f32 thereafter."""
+    r = pl.program_id(1)
+    slab = x_ref[0, :, pl.ds(pl.multiple_of(r * RB, 8), 2 * RB), :]
+    slab = slab.astype(jnp.float32)
+    y0, fy, x0, fx, wv = (ref[0] for ref in
+                          (y0_ref, fy_ref, x0_ref, fx_ref, wv_ref))
+    ays = {}
+    axs = {}
+    for k in range(K):
+        ty, tx = divmod(k, 3)
+        ays[k] = {ty + i: (w * wv[k]).astype(jnp.float32) for i, w in
+                  enumerate(_tap_axis_weights(ty, y0[k], fy[k]))}
+        axs[k] = {tx + i: w.astype(jnp.float32) for i, w in
+                  enumerate(_tap_axis_weights(tx, x0[k], fx[k]))}
+    accs = [jnp.zeros((C, RB, W), jnp.float32) for _ in range(K)]
+    for qx in range(M):
+        xsx = slab[:, :, qx:qx + W]                     # f32 (C, 2RB, W)
+        for k in range(K):
+            ax = axs[k].get(qx)
+            if ax is None:
+                continue
+            for qy, ay in ays[k].items():
+                accs[k] = accs[k] + (ay * ax)[None] * xsx[:, qy:qy + RB, :]
+    acc = jnp.concatenate(accs, axis=0)                  # (K*C, RB, W)
+    wf = w_ref[...].astype(jnp.float32)
+    rows = [jax.lax.dot_general(acc[:, i], wf,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)[None]
+            for i in range(RB)]
+    o_ref[0] = jnp.concatenate(rows, axis=0).astype(o_ref.dtype)
+
+
+def deform_cvt1(x, offset, mask, weight, bias=None, interpret: bool = False):
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weight.shape
+    assert kh == 3 and kw == 3 and H % RB == 0
+    y0, fy, x0, fx, wv = _fields(offset, mask, H, W)[:5]
+    xp = _pad_cf(x)
+    _, _, Hp, Wp = xp.shape
+    wf = weight.reshape(K * Cin, Cout)
+    fspec = pl.BlockSpec((1, K, RB, W), lambda b, r: (b, 0, r, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel_fused_cvt1, C=Cin, W=W),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, H // RB),
+            in_specs=[
+                pl.BlockSpec((1, Cin, Hp, Wp), lambda b, r: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                fspec, fspec, fspec, fspec, fspec,
+                pl.BlockSpec((K * Cin, Cout), lambda b, r: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, RB, W, Cout),
+                                   lambda b, r: (b, r, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, y0, fy, x0, fx, wv, wf)
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
 
 
 def deform_qxhoist(x, offset, mask, weight, bias=None,
@@ -140,7 +229,9 @@ def bench():
     args = _mgdt_shapes()
     f_base = jax.jit(modulated_deform_conv2d_pallas)
     f_hoist = jax.jit(deform_qxhoist)
-    for name, f in (("baseline", f_base), ("qxhoist", f_hoist)):
+    f_cvt1 = jax.jit(deform_cvt1)
+    for name, f in (("baseline", f_base), ("qxhoist", f_hoist),
+                    ("cvt1", f_cvt1)):
         out = f(*args)
         jax.device_get(out.ravel()[:1])
         ts = []
@@ -152,10 +243,11 @@ def bench():
             ts.append((time.perf_counter() - t0) / 5)
         print(f"{name}: {min(ts) * 1e3:.2f} ms")
     a = np.asarray(f_base(*args)).astype(np.float32)
-    b = np.asarray(f_hoist(*args)).astype(np.float32)
-    # bf16 outputs: f32 accumulation-order noise can flip one bf16 ULP
-    np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
-    print(f"on-chip outputs agree to {np.abs(a - b).max():.2e} OK")
+    for f in (f_hoist, f_cvt1):
+        b = np.asarray(f(*args)).astype(np.float32)
+        # bf16 outputs: f32 accumulation-order noise can flip one bf16 ULP
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+        print(f"on-chip outputs agree to {np.abs(a - b).max():.2e} OK")
 
 
 if __name__ == "__main__":
