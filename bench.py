@@ -126,12 +126,15 @@ def main():
     # Compiled.input_formats disagrees with the executable's own layout
     # check on several param leaves (full-AUTO is worth a further ~3 ms
     # when that bug is fixed).
+    from mgdt_yolo_tpu.utils.compile_opts import tpu_compiler_options
+    copts = tpu_compiler_options()
     try:
         from jax.experimental.layout import Format, Layout
         jf = jax.jit(infer, in_shardings=(None, Format(Layout.AUTO)))
         run = jf.lower(variables,
                        jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3),
-                                            jnp.bfloat16)).compile()
+                                            jnp.bfloat16)).compile(
+                           compiler_options=copts)
         (_, img_fmt), _ = run.input_formats
         x = jax.jit(lambda t: t, out_shardings=img_fmt)(
             jnp.asarray(xh, jnp.bfloat16))
@@ -139,7 +142,7 @@ def main():
             raise ValueError("relayout did not honor the AUTO layout")
         infer = run
     except Exception:  # pragma: no cover - older jax / exotic backends
-        infer = jax.jit(infer)
+        infer = jax.jit(infer, compiler_options=copts)
         x = jnp.asarray(xh, dtype=jnp.bfloat16)
 
     def sync(out):

@@ -99,6 +99,15 @@ class YOLO:
                                     "batch_stats": ckpt.get("batch_stats", {})}
             self.ckpt = ckpt
             self.overrides["model"] = cfg
+        elif weights.endswith(".npz"):
+            # the framework's own exported artifact (Exporter.export_npz):
+            # rebuild a live model from weights + metadata, like the
+            # reference facade accepting its exported formats
+            # (yolo/engine/model.py:104 via nn/autobackend.py:41); the
+            # metadata's deform_semantics pins the DCNv2 dispatch
+            from ..nn.autobackend import load_npz_model
+            self.model, meta = load_npz_model(weights)
+            self.overrides["model"] = meta.get("model_yaml")
         elif weights.endswith(".pt"):
             from ..utils.torch_import import load_torch_pt, load_torch_state_dict
             sd, train_args = load_torch_pt(weights)

@@ -75,7 +75,9 @@ class BasePredictor(CallbackMixin):
 
         augment = bool(getattr(self.args, "augment", False))
 
-        @jax.jit
+        from mgdt_yolo_tpu.utils.compile_opts import tpu_compiler_options
+
+        @partial(jax.jit, compiler_options=tpu_compiler_options())
         def infer(vs, img):
             import jax.numpy as jnp
             if jnp.issubdtype(img.dtype, jnp.integer):

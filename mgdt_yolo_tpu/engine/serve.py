@@ -79,7 +79,11 @@ class InferenceServer:
         self.imgsz = int(imgsz)
         self.names = getattr(model_holder, "names", {})
 
-        @jax.jit
+        from functools import partial
+
+        from ..utils.compile_opts import tpu_compiler_options
+
+        @partial(jax.jit, compiler_options=tpu_compiler_options())
         def infer(vs, img):
             import jax.numpy as jnp
             x = img.astype(jnp.float32) / 255.0

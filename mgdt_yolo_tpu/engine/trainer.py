@@ -219,9 +219,14 @@ def make_train_step(model, criterion, tx, ema_decay: float = 0.9999,
     if donate == "auto":
         ver = jax.devices()[0].client.platform_version
         donate = "0" if "axon" in ver else "1"
+    from ..utils.compile_opts import tpu_compiler_options
+
+    # Same scoped-VMEM default as serving (utils/compile_opts.py): measured
+    # on the b32 train step before adoption — see README training row.
+    copts = tpu_compiler_options()
     if donate == "1":
-        return jax.jit(train_step, donate_argnums=(0,))
-    return jax.jit(train_step)
+        return jax.jit(train_step, donate_argnums=(0,), compiler_options=copts)
+    return jax.jit(train_step, compiler_options=copts)
 
 
 def device_augment_unsupported(args) -> Dict[str, Any]:

@@ -194,7 +194,10 @@ class DetectionValidator(BaseValidator):
             stride=int(max(model_holder.stride)))
 
         def build():
-            @partial(jax.jit, static_argnames=())
+            from mgdt_yolo_tpu.utils.compile_opts import tpu_compiler_options
+
+            @partial(jax.jit, static_argnames=(),
+                     compiler_options=tpu_compiler_options())
             def infer(vs, img):
                 if jnp.issubdtype(img.dtype, jnp.integer):
                     img = img.astype(jnp.float32) / 255.0

@@ -16,6 +16,46 @@ import numpy as np
 from ..utils import LOGGER
 
 
+def load_npz_model(path):
+    """Rebuild a live model holder from an Exporter npz weight archive.
+
+    Reads the exporter's ``*_metadata.json`` beside the archive for the
+    model yaml / nc / names, and pins the holder to the recorded
+    `deform_semantics` (a bare rebuild would dispatch 'auto' → windowed,
+    the measured 0.626→0.557 mAP50-95 failure on exact-trained weights).
+    Shared by AutoBackend's npz leg and `YOLO('weights.npz')` (the
+    reference facade likewise accepts its exported artifacts,
+    yolo/engine/model.py:104 via nn/autobackend.py:41).
+
+    Returns (model_holder, metadata_dict).
+    """
+    p = Path(str(path))
+    meta_file = p.parent / f"{p.stem}_metadata.json"
+    m = json.loads(meta_file.read_text()) if meta_file.is_file() else {}
+    yaml_file = m.get("model_yaml")
+    if not yaml_file:
+        raise ValueError(
+            f"npz backend needs the exporter's *_metadata.json "
+            f"(with model_yaml) beside {p}")
+    from .tasks import DetectionModel
+    mh = DetectionModel(yaml_file, nc=m.get("nc"))
+    sem = m.get("deform_semantics")
+    if sem in ("exact", "windowed"):
+        mh.set_deform_semantics(sem)
+    flat = np.load(str(p))
+    variables = {}
+    for key in flat.files:  # "coll.a.b.kernel" -> nested dict
+        parts = key.split(".")
+        node = variables
+        for q in parts[:-1]:
+            node = node.setdefault(q, {})
+        node[parts[-1]] = flat[key]
+    mh.variables = variables
+    if m.get("names"):
+        mh.names = {int(k): v for k, v in m["names"].items()}
+    return mh, m
+
+
 class AutoBackend:
     def __init__(self, model, imgsz: int = 640):
         """model: DetectionModel | path to .stablehlo | orbax ckpt dir | .npz."""
@@ -33,7 +73,9 @@ class AutoBackend:
             def fwd(vs, img):
                 decoded, _ = model.model.apply(vs, img, train=False)
                 return decoded
-            self._fn = jax.jit(fwd)
+            from ..utils.compile_opts import tpu_compiler_options
+            self._fn = jax.jit(fwd,
+                               compiler_options=tpu_compiler_options())
             self._vs = model.variables
         else:
             p = Path(str(model))
@@ -74,31 +116,7 @@ class AutoBackend:
                     return module.f(np.asarray(img, np.float32)).numpy()
                 self._fn = run_sm
             elif p.suffix == ".npz":  # Exporter.export_npz weight archive
-                yaml_file = (m.get("model_yaml") if meta.is_file() else None)
-                if not yaml_file:
-                    raise ValueError(
-                        f"npz backend needs the exporter's *_metadata.json "
-                        f"(with model_yaml) beside {p}")
-                from .tasks import DetectionModel
-                mh = DetectionModel(yaml_file,
-                                    nc=(m.get("nc") if meta.is_file()
-                                        else None))
-                # pin the rebuilt model to the DCNv2 semantics the weights
-                # were trained/exported under (exporter metadata) — a bare
-                # rebuild would dispatch 'auto' (windowed), the measured
-                # 0.626 -> 0.557 mAP50-95 failure on exact-trained weights
-                sem = m.get("deform_semantics")
-                if sem in ("exact", "windowed"):
-                    mh.set_deform_semantics(sem)
-                flat = np.load(str(p))
-                variables = {}
-                for key in flat.files:  # "coll.a.b.kernel" -> nested dict
-                    parts = key.split(".")
-                    node = variables
-                    for q in parts[:-1]:
-                        node = node.setdefault(q, {})
-                    node[parts[-1]] = flat[key]
-                mh.variables = variables
+                mh, _ = load_npz_model(p)
                 self.__init__(mh, imgsz)  # runs as a flax backend from here
                 return
             elif p.is_dir():  # orbax checkpoint

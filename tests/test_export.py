@@ -149,3 +149,19 @@ def test_unsupported_source_raises(tmp_path):
     bad.write_bytes(b"xx")
     with pytest.raises(ValueError):
         AutoBackend(str(bad))
+
+
+def test_yolo_facade_loads_npz(exported):
+    """`YOLO('weights.npz')` rebuilds a live model from the framework's own
+    exported artifact (reference facade accepts its exported formats,
+    yolo/engine/model.py:104 via nn/autobackend.py:41) — and predict
+    output matches the source model exactly."""
+    m, arts = exported
+    m2 = YOLO(str(arts["npz"]))
+    assert m2.task == "detect"
+    assert m2.model.names == m.model.names
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 1, (1, IMGSZ, IMGSZ, 3)).astype(np.float32)
+    got = _live(m2, x)
+    want = _live(m, x)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

@@ -324,3 +324,19 @@ def test_ap_per_class_pr_matches_reference():
     np.testing.assert_allclose(ours["ap"], ap_ref, atol=1e-9)
     np.testing.assert_allclose(ours["precision"], p, atol=1e-9)
     np.testing.assert_allclose(ours["recall"], r, atol=1e-9)
+
+
+def test_tpu_compiler_options_gating(monkeypatch):
+    """Scoped-VMEM options attach ONLY to TPU compiles (compile_opts.py):
+    CPU (the test mesh) must get None so jit behaves identically, the
+    env override must win, and 0 must disable."""
+    from mgdt_yolo_tpu.utils.compile_opts import tpu_compiler_options
+    assert tpu_compiler_options() is None  # conftest forces CPU
+    assert tpu_compiler_options(backend="cpu") is None
+    opts = tpu_compiler_options(backend="tpu")
+    assert opts == {"xla_tpu_scoped_vmem_limit_kib": "24576"}
+    monkeypatch.setenv("MGDT_SCOPED_VMEM_KIB", "32768")
+    assert tpu_compiler_options(backend="tpu") == {
+        "xla_tpu_scoped_vmem_limit_kib": "32768"}
+    monkeypatch.setenv("MGDT_SCOPED_VMEM_KIB", "0")
+    assert tpu_compiler_options(backend="tpu") is None

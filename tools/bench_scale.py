@@ -5,6 +5,7 @@ Usage: python tools/bench_scale.py [scale] [batch] [yaml]
 """
 import sys
 import time
+from functools import partial
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -18,6 +19,7 @@ def main(scale="s", batch=256, cfg="mspa_c2f_gd_tood_yolov8.yaml",
 
     from mgdt_yolo_tpu.nn.tasks import DetectionModel, yaml_model_load
     from mgdt_yolo_tpu.ops.nms import non_max_suppression
+    from mgdt_yolo_tpu.utils.compile_opts import tpu_compiler_options
     from mgdt_yolo_tpu.utils.torch_utils import model_info
 
     d = yaml_model_load(cfg)
@@ -32,7 +34,7 @@ def main(scale="s", batch=256, cfg="mspa_c2f_gd_tood_yolov8.yaml",
     # every dispatch otherwise (44 MB fp32 at l-scale = ~1.2 s/call here)
     variables = jax.device_put(mh.variables)
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=tpu_compiler_options())
     def infer(vs, img):
         decoded, _ = mh.model.apply(vs, img, train=False)
         return non_max_suppression(decoded, conf_thres=0.25, iou_thres=0.7,
